@@ -1,0 +1,288 @@
+"""MetroHash64 — scalar and vectorized (numpy) implementations.
+
+The reference filter hashes every key with 64-bit MetroHash, seed 1337
+(reference: cuckoofilter.go:99 ``metro.Hash64(item, 1337)``; algorithm:
+vendor/github.com/dgryski/go-metro/metro64.go:10-84, itself a port of
+J. Andrew Rogers' public MetroHash64_2). Index/tag derivation:
+cuckoofilter.go:89-108.
+
+Two implementations:
+
+* :func:`metro64` — pure-Python scalar, a faithful re-derivation of the
+  published algorithm. Used as the parity oracle in tests and for
+  driver-side one-off hashing.
+* :func:`metro64_batch` — numpy-vectorized over a batch of
+  variable-length byte strings. This is the hot path used inside Arrow
+  pandas UDFs: the 32-byte block recurrence runs batched across all rows
+  that still have blocks left, and the tail branches (16/8/4/2/1 bytes)
+  are applied with per-row masks. No per-row Python in the hot loop.
+
+Both are implemented from the published algorithm description; the test
+suite pins ``metro64_batch == metro64`` across lengths 0..200.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_K0 = 0xD6D018F5
+_K1 = 0xA2AA033B
+_K2 = 0x62992FC1
+_K3 = 0x30BC5B29
+_MASK64 = (1 << 64) - 1
+
+DEFAULT_SEED = 1337  # cuckoofilter.go:99
+
+
+def _rotr(x: int, r: int) -> int:
+    return ((x >> r) | (x << (64 - r))) & _MASK64
+
+
+def metro64(data: bytes, seed: int = DEFAULT_SEED) -> int:
+    """Scalar MetroHash64 (seed defaults to the filter's 1337)."""
+    h = ((seed + _K2) * _K0) & _MASK64
+    n = len(data)
+    off = 0
+
+    if n >= 32:
+        v0 = v1 = v2 = v3 = h
+        while n - off >= 32:
+            v0 = (v0 + int.from_bytes(data[off : off + 8], "little") * _K0) & _MASK64
+            v0 = (_rotr(v0, 29) + v2) & _MASK64
+            v1 = (v1 + int.from_bytes(data[off + 8 : off + 16], "little") * _K1) & _MASK64
+            v1 = (_rotr(v1, 29) + v3) & _MASK64
+            v2 = (v2 + int.from_bytes(data[off + 16 : off + 24], "little") * _K2) & _MASK64
+            v2 = (_rotr(v2, 29) + v0) & _MASK64
+            v3 = (v3 + int.from_bytes(data[off + 24 : off + 32], "little") * _K3) & _MASK64
+            v3 = (_rotr(v3, 29) + v1) & _MASK64
+            off += 32
+        v2 ^= (_rotr(((v0 + v3) * _K0 + v1) & _MASK64, 37) * _K1) & _MASK64
+        v3 ^= (_rotr(((v1 + v2) * _K1 + v0) & _MASK64, 37) * _K0) & _MASK64
+        v0 ^= (_rotr(((v0 + v2) * _K0 + v3) & _MASK64, 37) * _K1) & _MASK64
+        v1 ^= (_rotr(((v1 + v3) * _K1 + v2) & _MASK64, 37) * _K0) & _MASK64
+        h = (h + (v0 ^ v1)) & _MASK64
+
+    if n - off >= 16:
+        v0 = (h + int.from_bytes(data[off : off + 8], "little") * _K2) & _MASK64
+        v0 = (_rotr(v0, 29) * _K3) & _MASK64
+        v1 = (h + int.from_bytes(data[off + 8 : off + 16], "little") * _K2) & _MASK64
+        v1 = (_rotr(v1, 29) * _K3) & _MASK64
+        v0 ^= (_rotr((v0 * _K0) & _MASK64, 21) + v1) & _MASK64
+        v1 ^= (_rotr((v1 * _K3) & _MASK64, 21) + v0) & _MASK64
+        h = (h + v1) & _MASK64
+        off += 16
+
+    if n - off >= 8:
+        h = (h + int.from_bytes(data[off : off + 8], "little") * _K3) & _MASK64
+        off += 8
+        h ^= (_rotr(h, 55) * _K1) & _MASK64
+
+    if n - off >= 4:
+        h = (h + int.from_bytes(data[off : off + 4], "little") * _K3) & _MASK64
+        h ^= (_rotr(h, 26) * _K1) & _MASK64
+        off += 4
+
+    if n - off >= 2:
+        h = (h + int.from_bytes(data[off : off + 2], "little") * _K3) & _MASK64
+        off += 2
+        h ^= (_rotr(h, 48) * _K1) & _MASK64
+
+    if n - off >= 1:
+        h = (h + data[off] * _K3) & _MASK64
+        h ^= (_rotr(h, 37) * _K1) & _MASK64
+
+    h ^= _rotr(h, 28)
+    h = (h * _K0) & _MASK64
+    h ^= _rotr(h, 29)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Vectorized implementation
+# ---------------------------------------------------------------------------
+
+_U64 = np.uint64
+_NK0 = _U64(_K0)
+_NK1 = _U64(_K1)
+_NK2 = _U64(_K2)
+_NK3 = _U64(_K3)
+_SHIFTS8 = (np.arange(8, dtype=np.uint64) * _U64(8))
+
+
+def _rotr_np(x: np.ndarray, r: int) -> np.ndarray:
+    r_ = _U64(r)
+    l_ = _U64(64 - r)
+    return (x >> r_) | (x << l_)
+
+
+def to_flat_bytes(items) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize a batch of keys to (flat uint8 array, per-row lengths).
+
+    Accepts: pandas Series of str/bytes, pyarrow String/Binary arrays,
+    list/ndarray of bytes. Uses Arrow buffers when available so the hot
+    path does not touch per-row Python objects.
+    """
+    import pyarrow as pa
+
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    if not isinstance(items, pa.Array):
+        try:
+            import pandas as pd
+
+            if isinstance(items, pd.Series):
+                items = pa.Array.from_pandas(items)
+            else:
+                items = pa.array(list(items))
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # fall back: list of bytes objects
+            lens = np.fromiter((len(b) for b in items), dtype=np.int64)
+            flat = np.frombuffer(b"".join(items), dtype=np.uint8)
+            return flat, lens
+
+    typ = items.type
+    if pa.types.is_string(typ) or pa.types.is_binary(typ):
+        odt = np.int32
+    elif pa.types.is_large_string(typ) or pa.types.is_large_binary(typ):
+        odt = np.int64
+    else:
+        items = items.cast(pa.large_binary())
+        odt = np.int64
+    bufs = items.buffers()
+    off0 = items.offset
+    offsets = np.frombuffer(bufs[1], dtype=odt, count=len(items) + 1 + off0)[off0:]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    start = int(offsets[0])
+    end = int(offsets[-1])
+    flat = data[start:end]
+    return np.ascontiguousarray(flat), lens
+
+
+def _pad_rows(flat: np.ndarray, lens: np.ndarray, pad: int = 8) -> np.ndarray:
+    """Ragged → dense 2D uint8 [n, maxlen+pad] (zero padded, 8-byte aligned)."""
+    n = len(lens)
+    maxlen = int(lens.max()) if n else 0
+    width = maxlen + pad
+    width += (-width) % 8  # keep row width a multiple of 8 for u64 views
+    buf = np.zeros((n, width), dtype=np.uint8)
+    if maxlen:
+        mask = np.arange(maxlen) < lens[:, None]
+        buf[:, :maxlen][mask] = flat
+    return buf
+
+
+def _gather_u64(buf: np.ndarray, rows: np.ndarray, off: np.ndarray, nbytes: int) -> np.ndarray:
+    """Little-endian read of `nbytes` bytes at per-row byte offsets."""
+    j = off[:, None] + np.arange(nbytes)
+    b = buf[rows[:, None], j].astype(np.uint64)
+    return (b << _SHIFTS8[:nbytes]).sum(axis=1, dtype=np.uint64)
+
+
+def metro64_batch(items, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Vectorized MetroHash64 over a batch of byte strings → uint64[n]."""
+    flat, lens = to_flat_bytes(items)
+    return metro64_flat(flat, lens, seed)
+
+
+def metro64_flat(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    n = len(lens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    buf = _pad_rows(flat, lens)
+    u64buf = buf.view(np.uint64)  # [n, width//8] aligned lanes
+
+    h = np.full(n, (((seed + _K2) * _K0) & _MASK64), dtype=np.uint64)
+    remaining = lens.copy()
+    off = np.zeros(n, dtype=np.int64)
+
+    # --- 32-byte block loop, batched across rows that still have blocks ---
+    has_blocks = lens >= 32
+    if has_blocks.any():
+        rows = np.nonzero(has_blocks)[0]
+        v = np.repeat(h[None, :], 4, axis=0).copy()  # v0..v3 (only block rows used)
+        nblocks = (lens[rows] // 32).astype(np.int64)
+        maxb = int(nblocks.max())
+        for blk in range(maxb):
+            act = nblocks > blk
+            r = rows[act]
+            lane0 = (blk * 32) // 8
+            w0 = u64buf[r, lane0]
+            w1 = u64buf[r, lane0 + 1]
+            w2 = u64buf[r, lane0 + 2]
+            w3 = u64buf[r, lane0 + 3]
+            v0 = v[0, r] + w0 * _NK0
+            v0 = _rotr_np(v0, 29) + v[2, r]
+            v1 = v[1, r] + w1 * _NK1
+            v1 = _rotr_np(v1, 29) + v[3, r]
+            v2 = v[2, r] + w2 * _NK2
+            v2 = _rotr_np(v2, 29) + v0
+            v3 = v[3, r] + w3 * _NK3
+            v3 = _rotr_np(v3, 29) + v1
+            v[0, r] = v0
+            v[1, r] = v1
+            v[2, r] = v2
+            v[3, r] = v3
+        v0, v1, v2, v3 = v[0, rows], v[1, rows], v[2, rows], v[3, rows]
+        v2 = v2 ^ (_rotr_np((v0 + v3) * _NK0 + v1, 37) * _NK1)
+        v3 = v3 ^ (_rotr_np((v1 + v2) * _NK1 + v0, 37) * _NK0)
+        v0 = v0 ^ (_rotr_np((v0 + v2) * _NK0 + v3, 37) * _NK1)
+        v1 = v1 ^ (_rotr_np((v1 + v3) * _NK1 + v2, 37) * _NK0)
+        h[rows] = h[rows] + (v0 ^ v1)
+        off[rows] = nblocks * 32
+        remaining[rows] = lens[rows] - off[rows]
+
+    # --- 16-byte tail ---
+    m = remaining >= 16
+    if m.any():
+        r = np.nonzero(m)[0]
+        w0 = _gather_u64(buf, r, off[r], 8)
+        w1 = _gather_u64(buf, r, off[r] + 8, 8)
+        v0 = h[r] + w0 * _NK2
+        v0 = _rotr_np(v0, 29) * _NK3
+        v1 = h[r] + w1 * _NK2
+        v1 = _rotr_np(v1, 29) * _NK3
+        v0 = v0 ^ (_rotr_np(v0 * _NK0, 21) + v1)
+        v1 = v1 ^ (_rotr_np(v1 * _NK3, 21) + v0)
+        h[r] = h[r] + v1
+        off[r] += 16
+        remaining[r] -= 16
+
+    # --- 8-byte tail ---
+    m = remaining >= 8
+    if m.any():
+        r = np.nonzero(m)[0]
+        h[r] = h[r] + _gather_u64(buf, r, off[r], 8) * _NK3
+        off[r] += 8
+        remaining[r] -= 8
+        h[r] = h[r] ^ (_rotr_np(h[r], 55) * _NK1)
+
+    # --- 4-byte tail ---
+    m = remaining >= 4
+    if m.any():
+        r = np.nonzero(m)[0]
+        h[r] = h[r] + _gather_u64(buf, r, off[r], 4) * _NK3
+        h[r] = h[r] ^ (_rotr_np(h[r], 26) * _NK1)
+        off[r] += 4
+        remaining[r] -= 4
+
+    # --- 2-byte tail ---
+    m = remaining >= 2
+    if m.any():
+        r = np.nonzero(m)[0]
+        h[r] = h[r] + _gather_u64(buf, r, off[r], 2) * _NK3
+        off[r] += 2
+        remaining[r] -= 2
+        h[r] = h[r] ^ (_rotr_np(h[r], 48) * _NK1)
+
+    # --- 1-byte tail ---
+    m = remaining >= 1
+    if m.any():
+        r = np.nonzero(m)[0]
+        h[r] = h[r] + buf[r, off[r]].astype(np.uint64) * _NK3
+        h[r] = h[r] ^ (_rotr_np(h[r], 37) * _NK1)
+
+    h = h ^ _rotr_np(h, 28)
+    h = h * _NK0
+    h = h ^ _rotr_np(h, 29)
+    return h

@@ -1,0 +1,386 @@
+"""CuckooKernel — vectorized cuckoo-filter kernel (build plan M1).
+
+Semantics re-derived from the reference (cuckoofilter.go): partial-key
+cuckoo hashing with MetroHash64(seed 1337) fingerprints, alt-index
+involution ``i ^ (tag * 0x5bd1e995)`` (cuckoofilter.go:105-108), 500-kick
+bound with single victim stash (cuckoofilter.go:19, :151-175).
+
+Execution model is NOT a translation of the Go code: filter state is an
+unpacked ``uint32[num_buckets, tags_per_bucket]`` slot matrix and all
+operations are numpy batch ops. Inserts are order-dependent (eviction),
+so the batch insert runs a *frontier loop*: each round, every still-
+homeless (index, tag) entry probes its current bucket; per-bucket free
+slots are handed out by stable rank, at most one eviction per bucket per
+round, and evicted tags rejoin the frontier at their alternate index.
+Per-chain attempts are bounded at 500 like the reference; the first
+exhausted chain is stashed in the victim cache, a second raises
+:class:`FilterFullError`.
+
+Documented deviation from the reference: eviction-slot choice is a
+deterministic hash of (bucket, round, seed) instead of ``rand.Int31()``
+(singletable.go:204, packedtable.go:425), so builds are reproducible and
+checkpoint-resumable. Membership semantics are unaffected.
+
+Serialization is byte-compatible with the reference layout (SURVEY.md
+§1.5): blobs written here decode in the scalar oracle and vice versa.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from cuckoo_filter_spark.hashing import metro64_batch
+from cuckoo_filter_spark.kernel import bitpack
+from cuckoo_filter_spark.params import (
+    MAX_CUCKOO_KICKS,
+    TABLE_PACKED,
+    TABLE_SINGLE,
+    CuckooParams,
+)
+
+_MURMUR_C = np.uint32(0x5BD1E995)  # cuckoofilter.go:106
+
+
+class FilterFullError(RuntimeError):
+    """Raised when an insert chain exhausts and the victim cache is
+    already occupied. Size builds with headroom (≤ max_load_factor)."""
+
+
+def split_hash(h: np.ndarray, num_buckets: int, bits_per_item: int):
+    """uint64 hashes → (index int64[:], tag uint32[:]).
+
+    index = upper 32 bits & (nb−1); tag = lower 32 % (2^f − 1) + 1
+    (cuckoofilter.go:89-103)."""
+    hi = (h >> np.uint64(32)).astype(np.uint32)
+    lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    idx = (hi & np.uint32(num_buckets - 1)).astype(np.int64)
+    tag_mod = np.uint64((1 << bits_per_item) - 1) if bits_per_item < 32 else np.uint64(0xFFFFFFFF)
+    tag = (lo % tag_mod + np.uint64(1)).astype(np.uint32)
+    return idx, tag
+
+
+def alt_index(idx: np.ndarray, tag: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Involution: altIndex(altIndex(i,t),t) == i (cuckoofilter.go:105-108)."""
+    v = idx.astype(np.uint32) ^ (tag.astype(np.uint32) * _MURMUR_C)
+    return (v & np.uint32(num_buckets - 1)).astype(np.int64)
+
+
+def _evict_choice(buckets: np.ndarray, round_no: int, seed: int, b: int) -> np.ndarray:
+    """Deterministic per-(bucket, round) eviction slot in [0, b)."""
+    x = buckets.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    x ^= np.uint64((round_no * 0xBF58476D1CE4E5B9 + seed) & 0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(29)
+    return (x % np.uint64(b)).astype(np.int64)
+
+
+class CuckooKernel:
+    """Vectorized cuckoo filter over an unpacked slot matrix."""
+
+    def __init__(self, params: CuckooParams, seed: int = 0x1337C0FFEE):
+        self.params = params
+        self.slots = np.zeros((params.num_buckets, params.tags_per_bucket), dtype=np.uint32)
+        self.num_items = 0
+        self.victim_index = 0
+        self.victim_tag = 0
+        self.victim_used = False
+        self.seed = seed
+
+    @classmethod
+    def for_capacity(
+        cls, max_num_keys: int, b: int = 4, f: int = 16, table_type: int = TABLE_SINGLE
+    ) -> "CuckooKernel":
+        return cls(CuckooParams.for_capacity(max_num_keys, b, f, table_type))
+
+    # ------------------------------------------------------------------
+    # hashing
+    # ------------------------------------------------------------------
+    def fingerprints(self, items) -> tuple[np.ndarray, np.ndarray]:
+        """Batch of keys → (index, tag) arrays."""
+        h = metro64_batch(items)
+        return split_hash(h, self.params.num_buckets, self.params.bits_per_item)
+
+    # ------------------------------------------------------------------
+    # insert
+    # ------------------------------------------------------------------
+    def add(self, items) -> np.ndarray:
+        """Batch insert; returns per-item success mask. Items after the
+        victim cache fills are rejected like sequential Add
+        (cuckoofilter.go:135-141)."""
+        idx, tag = self.fingerprints(items)
+        return self.add_hashed(idx, tag)
+
+    def add_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        n = len(idx)
+        ok = np.zeros(n, dtype=bool)
+        if n == 0 or self.victim_used:
+            return ok
+        ok[:] = True
+        self._insert_frontier(idx.astype(np.int64), tag.astype(np.uint32))
+        return ok
+
+    def add_unique(self, items) -> np.ndarray:
+        """Batch AddUnique (cuckoofilter.go:144-149): skip keys already
+        present (or duplicated within the batch); returns stored-new mask."""
+        idx, tag = self.fingerprints(items)
+        return self.add_unique_hashed(idx, tag)
+
+    def add_unique_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        n = len(idx)
+        ok = np.zeros(n, dtype=bool)
+        if n == 0 or self.victim_used:
+            return ok
+        present = self.contain_hashed(idx, tag)
+        # first occurrence of each (idx, tag) within the batch
+        key = idx.astype(np.uint64) << np.uint64(32) | tag.astype(np.uint64)
+        _, first = np.unique(key, return_index=True)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first] = True
+        todo = ~present & is_first
+        self._insert_frontier(idx[todo].astype(np.int64), tag[todo].astype(np.uint32))
+        ok[todo] = True
+        return ok
+
+    def _insert_frontier(self, cur_i: np.ndarray, cur_t: np.ndarray) -> None:
+        """Frontier kick loop. Mutates slots/num_items/victim in place."""
+        n = len(cur_i)
+        if n == 0:
+            return
+        cur_i = cur_i.copy()
+        cur_t = cur_t.copy()
+        attempts = np.zeros(n, dtype=np.int64)
+        active = np.ones(n, dtype=bool)
+        slots = self.slots
+        b = self.params.tags_per_bucket
+        nb = self.params.num_buckets
+        round_no = 0
+        while True:
+            act = np.nonzero(active)[0]
+            if act.size == 0:
+                break
+            bi = cur_i[act]
+            srt = np.lexsort((act, bi))  # by bucket, then original order (stable)
+            s_items = act[srt]
+            s_b = bi[srt]
+            uniq, start, counts = np.unique(s_b, return_index=True, return_counts=True)
+            free = (slots[uniq] == 0).sum(axis=1)
+            group_id = np.repeat(np.arange(len(uniq)), counts)
+            rank = np.arange(len(s_b)) - start[group_id]
+            free_g = free[group_id]
+            place = rank < free_g
+
+            p_items = s_items[place]
+            if p_items.size:
+                pb = cur_i[p_items]
+                prank = rank[place]
+                z = slots[pb] == 0
+                c = np.cumsum(z, axis=1)
+                slot_j = np.argmax((c == (prank + 1)[:, None]) & z, axis=1)
+                slots[pb, slot_j] = cur_t[p_items]
+                self.num_items += int(p_items.size)
+                active[p_items] = False
+
+            u_items = s_items[~place]
+            if u_items.size:
+                u_rank = rank[~place]
+                u_free = free_g[~place]
+                first_unplaced = u_rank == u_free
+                fresh = attempts[u_items] == 0
+                # fresh probes of a full bucket move to alt without kicking
+                # (kickOut only when count>0 — cuckoofilter.go:159)
+                movers = u_items[fresh]
+                evict_cand = u_items[first_unplaced & ~fresh]
+                # non-fresh, non-first entries wait a round (bucket already
+                # claimed by this round's evictor)
+
+                if movers.size:
+                    cur_i[movers] = alt_index(cur_i[movers], cur_t[movers], nb)
+                    attempts[movers] += 1
+                if evict_cand.size:
+                    eb = cur_i[evict_cand]
+                    r = _evict_choice(eb, round_no, self.seed, b)
+                    old = slots[eb, r].copy()
+                    slots[eb, r] = cur_t[evict_cand]
+                    cur_t[evict_cand] = old
+                    cur_i[evict_cand] = alt_index(eb, old, nb)
+                    attempts[evict_cand] += 1
+
+                exhausted = np.nonzero(active & (attempts >= MAX_CUCKOO_KICKS))[0]
+                for e in exhausted:
+                    if not self.victim_used:
+                        # stash; the original item counts as stored
+                        # (cuckoofilter.go:171-174)
+                        self.victim_index = int(cur_i[e])
+                        self.victim_tag = int(cur_t[e])
+                        self.victim_used = True
+                        active[e] = False
+                    else:
+                        raise FilterFullError(
+                            f"insert chain exhausted {MAX_CUCKOO_KICKS} kicks with victim "
+                            f"cache occupied (load={self.load_factor():.3f})"
+                        )
+            round_no += 1
+
+    # ------------------------------------------------------------------
+    # lookup
+    # ------------------------------------------------------------------
+    def contain(self, items) -> np.ndarray:
+        idx, tag = self.fingerprints(items)
+        return self.contain_hashed(idx, tag)
+
+    def contain_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        """Vectorized Contain (cuckoofilter.go:178-188)."""
+        if len(idx) == 0:
+            return np.zeros(0, dtype=bool)
+        i2 = alt_index(idx, tag, self.params.num_buckets)
+        t = tag[:, None]
+        found = (self.slots[idx] == t).any(axis=1) | (self.slots[i2] == t).any(axis=1)
+        if self.victim_used:
+            found |= (tag == np.uint32(self.victim_tag)) & (
+                (idx == self.victim_index) | (i2 == self.victim_index)
+            )
+        return found
+
+    # ------------------------------------------------------------------
+    # delete
+    # ------------------------------------------------------------------
+    def delete(self, items) -> np.ndarray:
+        idx, tag = self.fingerprints(items)
+        return self.delete_hashed(idx, tag)
+
+    def delete_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        """Sequential-semantics batch delete (cuckoofilter.go:191-213).
+
+        Deletes remove ONE stored copy per call, and a successful delete
+        re-inserts the stashed victim; both make deletes order-dependent,
+        so this loops per item (numpy row ops). Not a bench hot path."""
+        n = len(idx)
+        out = np.zeros(n, dtype=bool)
+        nb = self.params.num_buckets
+        for k in range(n):
+            i1 = int(idx[k])
+            t = np.uint32(tag[k])
+            i2 = int(alt_index(np.array([i1]), np.array([t], dtype=np.uint32), nb)[0])
+            deleted = False
+            for i in (i1, i2):
+                js = np.nonzero(self.slots[i] == t)[0]
+                if js.size:
+                    self.slots[i, js[0]] = 0
+                    self.num_items -= 1
+                    deleted = True
+                    break
+            if deleted:
+                if self.victim_used:
+                    self.victim_used = False
+                    self._insert_frontier(
+                        np.array([self.victim_index], dtype=np.int64),
+                        np.array([self.victim_tag], dtype=np.uint32),
+                    )
+                out[k] = True
+            elif (
+                self.victim_used
+                and int(t) == self.victim_tag
+                and self.victim_index in (i1, i2)
+            ):
+                self.victim_used = False
+                out[k] = True
+        return out
+
+    # ------------------------------------------------------------------
+    # merge (union) — SURVEY.md §2.3; sound because alt_index is an
+    # involution: a tag stored at bucket i re-inserted at i preserves its
+    # original candidate pair {i, alt(i, tag)}.
+    # ------------------------------------------------------------------
+    def merge(self, other: "CuckooKernel") -> "CuckooKernel":
+        if self.params != other.params:
+            raise ValueError(f"cannot merge filters with different params: "
+                             f"{self.params} vs {other.params}")
+        bi, sj = np.nonzero(other.slots)
+        tags = other.slots[bi, sj]
+        self._insert_frontier(bi.astype(np.int64), tags.astype(np.uint32))
+        if other.victim_used:
+            self._insert_frontier(
+                np.array([other.victim_index], dtype=np.int64),
+                np.array([other.victim_tag], dtype=np.uint32),
+            )
+        return self
+
+    # ------------------------------------------------------------------
+    # stats
+    # ------------------------------------------------------------------
+    def size(self) -> int:
+        return self.num_items + (1 if self.victim_used else 0)
+
+    def load_factor(self) -> float:
+        return self.size() / self.params.size_in_tags
+
+    def size_in_bytes(self) -> int:
+        return self.params.size_in_bytes()
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(self.size(), 1)
+
+    def describe(self) -> dict:
+        return {
+            "table_type": self.params.table_type,
+            "tags_per_bucket": self.params.tags_per_bucket,
+            "bits_per_item": self.params.bits_per_item,
+            "num_buckets": self.params.num_buckets,
+            "size": self.size(),
+            "load_factor": self.load_factor(),
+            "size_in_bytes": self.size_in_bytes(),
+        }
+
+    # ------------------------------------------------------------------
+    # serialization — byte-compatible with SURVEY.md §1.5
+    # ------------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        head = struct.pack(
+            "<IIIB",
+            self.num_items & 0xFFFFFFFF,
+            self.victim_index & 0xFFFFFFFF,
+            self.victim_tag & 0xFFFFFFFF,
+            1 if self.victim_used else 0,
+        )
+        p = self.params
+        if p.table_type == TABLE_PACKED:
+            table = struct.pack("<BBI", TABLE_PACKED, p.bits_per_item, p.num_buckets)
+            table += bitpack.pack_packed(self.slots, p.bits_per_item)
+        else:
+            table = struct.pack(
+                "<BBBI", TABLE_SINGLE, p.tags_per_bucket, p.bits_per_item, p.num_buckets
+            )
+            table += bitpack.pack_single(self.slots, p.bits_per_item)
+        return head + table
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooKernel":
+        if len(data) < 20:
+            raise ValueError("unexpected bytes length")
+        num_items, v_index, v_tag, used = struct.unpack_from("<IIIB", data, 0)
+        table_type = data[13]
+        if table_type == TABLE_PACKED:
+            f, nb = struct.unpack_from("<BI", data, 14)
+            params = CuckooParams(4, f, nb, TABLE_PACKED)
+            slots = bitpack.unpack_packed(data[19:], nb, f)
+        else:
+            b, f, nb = struct.unpack_from("<BBI", data, 14)
+            params = CuckooParams(b, f, nb, TABLE_SINGLE)
+            slots = bitpack.unpack_single(data[20:], nb, b, f)
+        out = cls(params)
+        out.slots = np.ascontiguousarray(slots, dtype=np.uint32)
+        out.num_items = num_items
+        out.victim_index = v_index
+        out.victim_tag = v_tag
+        out.victim_used = used == 1
+        return out
+
+    def reset(self) -> None:
+        self.slots[:] = 0
+        self.num_items = 0
+        self.victim_index = 0
+        self.victim_tag = 0
+        self.victim_used = False

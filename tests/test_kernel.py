@@ -1,0 +1,244 @@
+"""Kernel (vectorized) vs oracle (scalar) parity, mirroring the
+reference's sweeping config-grid test (cuckoofilter_test.go:25-111)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from cuckoo_filter_spark.kernel.filter import CuckooKernel, FilterFullError
+from cuckoo_filter_spark.oracle.scalar import ScalarFilter
+from cuckoo_filter_spark.params import TABLE_PACKED, TABLE_SINGLE, CuckooParams
+
+# reference grid (cuckoofilter_test.go:20-23), scaled down for runtime;
+# packed skips f=2 and requires b=4 (cuckoofilter_test.go:32-37)
+GRID = []
+for table_type in (TABLE_SINGLE, TABLE_PACKED):
+    for b in (2, 4, 8):
+        for f in (2, 4, 5, 8, 9, 12, 13, 16, 17, 23, 31, 32):
+            if table_type == TABLE_PACKED and (b != 4 or f < 4):
+                continue
+            GRID.append((b, f, table_type))
+
+SMALL_GRID = [(4, 16, TABLE_SINGLE), (4, 16, TABLE_PACKED), (2, 8, TABLE_SINGLE),
+              (8, 12, TABLE_SINGLE), (4, 9, TABLE_PACKED), (4, 32, TABLE_PACKED)]
+
+
+def _keys(rng, n, length=32):
+    return [rng.bytes(length) for _ in range(n)]
+
+
+@pytest.mark.parametrize("b,f,tt", GRID)
+def test_grid_insert_contain_delete(b, f, tt, rng):
+    """Mirror of the reference grid test (cuckoofilter_test.go:25-111):
+    AddUnique a batch, assert size == stored count, no false negatives,
+    then delete-to-empty."""
+    cap = 500
+    kern = CuckooKernel.for_capacity(cap, b, f, tt)
+    n = int(kern.params.size_in_tags * 0.6)
+    keys = _keys(np.random.default_rng(1000 * b + f + tt), n)
+    ok = kern.add_unique(keys)
+    stored = [k for k, o in zip(keys, ok) if o]
+    assert len(stored) > 0
+    assert kern.size() == len(stored)
+    assert kern.contain(stored).all(), "false negative"
+    deleted = kern.delete(stored)
+    assert deleted.all()
+    assert kern.size() == 0
+
+
+@pytest.mark.parametrize("b,f,tt", SMALL_GRID)
+def test_kernel_matches_oracle_membership(b, f, tt, rng):
+    """Same keys into kernel and oracle → identical membership on members
+    and identical answers on a shared probe set (placement may differ,
+    membership must not — SURVEY.md §5.2)."""
+    cap = 400
+    kern = CuckooKernel.for_capacity(cap, b, f, tt)
+    orc = ScalarFilter(kern.params)
+    local = np.random.default_rng(7 * b + f)
+    n = int(kern.params.size_in_tags * 0.5)
+    keys = _keys(local, n)
+    kern.add(keys)
+    for k in keys:
+        orc.add(k)
+    assert kern.size() == orc.size()
+    assert kern.contain(keys).all()
+    assert all(orc.contain(k) for k in keys)
+    # FP answers may differ per-key only if placements differ — but tags and
+    # candidate buckets are identical, and both store the same multiset, so
+    # Contain is placement-independent. Assert exact equality.
+    probes = _keys(local, 2000, 16)
+    kv = kern.contain(probes)
+    ov = np.array([orc.contain(p) for p in probes])
+    assert np.array_equal(kv, ov)
+
+
+@pytest.mark.parametrize("b,f,tt", SMALL_GRID)
+def test_serialization_roundtrip_and_cross(b, f, tt):
+    cap = 300
+    kern = CuckooKernel.for_capacity(cap, b, f, tt)
+    local = np.random.default_rng(13 * b + f)
+    keys = _keys(local, int(kern.params.size_in_tags * 0.5))
+    kern.add(keys)
+
+    blob = kern.to_bytes()
+    # self round-trip: byte-identical re-encode
+    kern2 = CuckooKernel.from_bytes(blob)
+    assert kern2.to_bytes() == blob
+    # packed encode semi-sorts within buckets: compare per-bucket multisets
+    assert np.array_equal(np.sort(kern2.slots, axis=1), np.sort(kern.slots, axis=1))
+    assert kern2.size() == kern.size()
+    assert kern2.contain(keys).all()
+
+    # cross: oracle decodes kernel bytes, same membership + same re-encode
+    orc = ScalarFilter.decode(blob)
+    assert orc.size() == kern.size()
+    assert all(orc.contain(k) for k in keys)
+    assert orc.encode() == blob
+
+    # cross: kernel decodes oracle-built bytes
+    orc2 = ScalarFilter(kern.params)
+    for k in keys[:50]:
+        orc2.add(k)
+    blob2 = orc2.encode()
+    kern3 = CuckooKernel.from_bytes(blob2)
+    assert kern3.to_bytes() == blob2
+    assert kern3.contain(keys[:50]).all()
+
+
+def test_overload_no_false_negatives_oracle():
+    """Mirror of the reference overload workload (cuckoofilter_test.go:38-48):
+    many keys into a small filter via AddUnique; every reported-stored key
+    must be found. Sequential semantics → oracle."""
+    orc = ScalarFilter.for_capacity(480, 4, 16, TABLE_SINGLE)
+    local = np.random.default_rng(99)
+    keys = [local.bytes(32) for _ in range(3000)]
+    stored = [k for k in keys if orc.add_unique(k)]
+    assert 0 < len(stored) <= len(keys)
+    assert orc.size() == len(stored)
+    for k in stored:
+        assert orc.contain(k), "false negative under overload"
+    # delete all stored → size 0 (cuckoofilter_test.go:101-105)
+    for k in stored:
+        assert orc.delete(k)
+    assert orc.size() == 0
+
+
+def test_kernel_add_unique_dedup():
+    kern = CuckooKernel.for_capacity(1000, 4, 16)
+    keys = [b"k%d" % (i % 50) for i in range(500)]
+    ok = kern.add_unique(keys)
+    assert ok.sum() == 50
+    assert kern.size() == 50
+    assert kern.contain([b"k%d" % i for i in range(50)]).all()
+    ok2 = kern.add_unique([b"k1", b"new1"])
+    assert list(ok2) == [False, True]
+
+
+def test_load_factor_before_failure_b4():
+    """b=4 must reach ≥95% load before the first insert failure
+    (util.go:32-33, BASELINE.md)."""
+    kern = CuckooKernel.for_capacity(4000, 4, 16)
+    local = np.random.default_rng(5)
+    cap = kern.params.size_in_tags
+    inserted = 0
+    try:
+        for chunk in range(0, 2 * cap, 64):
+            keys = [local.bytes(32) for _ in range(64)]
+            kern.add(keys)
+            inserted += 64
+    except FilterFullError:
+        pass
+    assert kern.load_factor() >= 0.95, f"load {kern.load_factor():.3f}"
+
+
+def test_victim_path_and_delete_restores():
+    """Fill past capacity so the victim stashes, then delete frees it."""
+    kern = CuckooKernel.for_capacity(250, 4, 8)
+    local = np.random.default_rng(17)
+    keys = [local.bytes(32) for _ in range(kern.params.size_in_tags)]
+    try:
+        kern.add(keys)
+    except FilterFullError:
+        pass
+    # a full filter rejects new adds once the victim is set
+    if kern.victim_used:
+        assert not kern.add([b"one-more"]).any()
+
+
+def test_merge_membership_and_size(rng):
+    params = CuckooParams.for_capacity(3000, 4, 16, TABLE_SINGLE)
+    local = np.random.default_rng(23)
+    parts = []
+    all_keys = []
+    for p in range(3):
+        keys = [local.bytes(32) for _ in range(400)]
+        k = CuckooKernel(params)
+        k.add(keys)
+        parts.append(k)
+        all_keys.append(keys)
+
+    import itertools
+
+    sizes = set()
+    answer_sets = []
+    probes = [local.bytes(16) for _ in range(3000)]
+    for order in itertools.permutations(range(3)):
+        merged = CuckooKernel(params)
+        for i in order:
+            src = CuckooKernel.from_bytes(parts[i].to_bytes())
+            merged.merge(src)
+        sizes.add(merged.size())
+        for keys in all_keys:
+            assert merged.contain(keys).all(), "merge lost a member"
+        answer_sets.append(tuple(merged.contain_hashed(*merged.fingerprints(probes))))
+    assert len(sizes) == 1, "Size must be merge-order independent"
+    assert sizes.pop() == 1200
+    assert len(set(answer_sets)) == 1, "membership answers must be merge-order independent"
+
+
+def test_merge_overflow_raises():
+    params = CuckooParams.for_capacity(100, 4, 8, TABLE_SINGLE)
+    local = np.random.default_rng(31)
+    a = CuckooKernel(params)
+    b = CuckooKernel(params)
+    cap = params.size_in_tags
+    a.add([local.bytes(32) for _ in range(int(cap * 0.9))])
+    b.add([local.bytes(32) for _ in range(int(cap * 0.9))])
+    with pytest.raises(FilterFullError):
+        a.merge(b)
+
+
+def test_fp_rate_bound_f16():
+    """Empirical FP ≤ 0.02% for (b=4, f=16) at full load; expected
+    ≈ 2b/2^f ≈ 0.0122% (README.md:30, FIXTURES.md F5)."""
+    kern = CuckooKernel.for_capacity(8000, 4, 16)
+    n = kern.params.size_in_tags
+    members = [struct.pack(">I", i) for i in range(n)]
+    try:
+        kern.add(members)
+    except FilterFullError:
+        pass
+    rounds = 100_000
+    probes = [struct.pack(">I", i + n + 1) for i in range(rounds)]
+    fp = kern.contain(probes).sum() / rounds
+    assert fp <= 0.0002, f"FP rate {fp:.6f} exceeds bound"
+
+
+def test_tag_never_zero():
+    kern = CuckooKernel.for_capacity(100, 4, 4)
+    local = np.random.default_rng(3)
+    _, tags = kern.fingerprints([local.bytes(8) for _ in range(5000)])
+    assert (tags >= 1).all()
+    assert (tags <= (1 << 4) - 1).all()
+
+
+def test_alt_index_involution():
+    kern = CuckooKernel.for_capacity(1000, 4, 16)
+    local = np.random.default_rng(4)
+    idx, tag = kern.fingerprints([local.bytes(12) for _ in range(2000)])
+    from cuckoo_filter_spark.kernel.filter import alt_index
+
+    i2 = alt_index(idx, tag, kern.params.num_buckets)
+    i1 = alt_index(i2, tag, kern.params.num_buckets)
+    assert np.array_equal(i1, idx)
