@@ -141,6 +141,15 @@ def to_flat_bytes(items) -> tuple[np.ndarray, np.ndarray]:
             return flat, lens
 
     typ = items.type
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        # canonical fixed-width key encoding: 8-byte little-endian
+        if items.null_count:
+            raise ValueError("null keys are not supported")
+        vals = items.to_numpy(zero_copy_only=False)
+        wide = vals.astype("<i8") if pa.types.is_integer(typ) else vals.astype("<f8")
+        flat = np.ascontiguousarray(wide).view(np.uint8)
+        lens = np.full(len(items), 8, dtype=np.int64)
+        return flat, lens
     if pa.types.is_string(typ) or pa.types.is_binary(typ):
         odt = np.int32
     elif pa.types.is_large_string(typ) or pa.types.is_large_binary(typ):

@@ -88,6 +88,7 @@ class CuckooKernel:
         self.victim_tag = 0
         self.victim_used = False
         self.seed = seed
+        self.kicks = 0  # eviction count (lineage metric, not serialized)
 
     @classmethod
     def for_capacity(
@@ -200,6 +201,7 @@ class CuckooKernel:
                     cur_i[movers] = alt_index(cur_i[movers], cur_t[movers], nb)
                     attempts[movers] += 1
                 if evict_cand.size:
+                    self.kicks += int(evict_cand.size)
                     eb = cur_i[evict_cand]
                     r = _evict_choice(eb, round_no, self.seed, b)
                     old = slots[eb, r].copy()

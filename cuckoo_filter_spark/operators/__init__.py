@@ -1,0 +1,16 @@
+"""Spark-native distributed operators around the sketch kernels."""
+
+from cuckoo_filter_spark.operators.build import CuckooBuild, build_cuckoo_filter
+from cuckoo_filter_spark.operators.query import (
+    cuckoo_anti_join,
+    cuckoo_semi_join,
+    might_contain_udf,
+)
+
+__all__ = [
+    "CuckooBuild",
+    "build_cuckoo_filter",
+    "might_contain_udf",
+    "cuckoo_semi_join",
+    "cuckoo_anti_join",
+]

@@ -1,0 +1,109 @@
+"""Membership queries over built filters (SURVEY.md §2.2, §3 query path).
+
+``might_contain`` is the Contain predicate (cuckoofilter.go:178-188) as a
+vectorized pandas UDF over a broadcast blob: hashing + bucket probes are
+numpy batch ops; the decoded (unpacked) table is cached per executor
+process so each task pays decode cost at most once per blob.
+
+Join patterns (no false negatives ⇒ safe pruning):
+
+* semi join: ``probe.where(might_contain(key))`` keeps all true matches;
+  with ``exact=True`` a verification ``left_semi`` join removes the
+  ~2b/2^f false positives. At scale the filter prunes the probe side
+  BEFORE the shuffle, which is the entire point: only candidate rows are
+  hashed/exchanged, and Catalyst/AQE still picks broadcast-hash vs
+  sort-merge for the residual join.
+* anti join: the raw filter CANNOT prune an anti join directly (a false
+  positive would drop a valid row) — but its complement can: rows NOT in
+  the filter are definitely non-members and skip the shuffle entirely;
+  only maybe-member rows go through the exact ``left_anti``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cuckoo_filter_spark.kernel.filter import CuckooKernel
+from cuckoo_filter_spark.operators.build import CuckooBuild
+
+# per-executor decode cache: broadcast id → CuckooKernel
+_KERNEL_CACHE: dict[int, CuckooKernel] = {}
+
+
+def _cached_kernel(key: int, bcast) -> CuckooKernel:
+    kern = _KERNEL_CACHE.get(key)
+    if kern is None:
+        kern = CuckooKernel.from_bytes(bytes(bcast.value))
+        _KERNEL_CACHE[key] = kern
+    return kern
+
+
+def might_contain_udf(spark, build: CuckooBuild | bytes):
+    """Returns a pandas UDF ``f(col) -> boolean`` probing the filter."""
+    blob = build.blob if isinstance(build, CuckooBuild) else build
+    bcast = spark.sparkContext.broadcast(blob)
+    bid = bcast._jbroadcast.id()  # capture on driver; keys the executor cache
+
+    @pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        kern = _cached_kernel(bid, bcast)
+        return pd.Series(kern.contain(keys))
+
+    return might_contain
+
+
+def cuckoo_semi_join(
+    probe: DataFrame,
+    probe_key: str,
+    build_df: DataFrame,
+    build_key: str,
+    exact: bool = True,
+    build: CuckooBuild | None = None,
+    **build_kwargs,
+) -> DataFrame:
+    """probe ⋉ build_df with cuckoo pre-pruning.
+
+    exact=True (default): verification left_semi join restores exactness
+    (the filter has no false negatives, so pre-pruning never drops a true
+    match). exact=False returns the approximate superset (FP ≈ 2b/2^f).
+    """
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+
+    spark = probe.sparkSession
+    if build is None:
+        build = build_cuckoo_filter(build_df, build_key, **build_kwargs)
+    mc = might_contain_udf(spark, build)
+    pruned = probe.where(mc(F.col(probe_key)))
+    if not exact:
+        return pruned
+    rhs = build_df.select(build_key).dropDuplicates([build_key])
+    return pruned.join(rhs, on=pruned[probe_key] == rhs[build_key], how="left_semi")
+
+
+def cuckoo_anti_join(
+    probe: DataFrame,
+    probe_key: str,
+    build_df: DataFrame,
+    build_key: str,
+    build: CuckooBuild | None = None,
+    **build_kwargs,
+) -> DataFrame:
+    """Exact probe ▷ build_df (anti join) with safe cuckoo acceleration:
+    definite non-members bypass the join; only maybe-members (filter
+    hits) are verified with an exact left_anti."""
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+
+    spark = probe.sparkSession
+    if build is None:
+        build = build_cuckoo_filter(build_df, build_key, **build_kwargs)
+    mc = might_contain_udf(spark, build)
+    flagged = probe.withColumn("__maybe_member", mc(F.col(probe_key)))
+    definite_out = flagged.where(~F.col("__maybe_member")).drop("__maybe_member")
+    maybe = flagged.where(F.col("__maybe_member")).drop("__maybe_member")
+    rhs = build_df.select(build_key).dropDuplicates([build_key])
+    verified_out = maybe.join(
+        rhs, on=maybe[probe_key] == rhs[build_key], how="left_anti"
+    )
+    return definite_out.unionByName(verified_out)

@@ -1,0 +1,92 @@
+"""Spark E2E: distributed build/merge/query (SURVEY.md §5.2)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+from cuckoo_filter_spark.operators.query import (
+    cuckoo_anti_join,
+    cuckoo_semi_join,
+    might_contain_udf,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_build_filter_membership(spark, docs):
+    keys = docs.select(F.concat_ws("/", "source", "doc_id").alias("key"))
+    build = build_cuckoo_filter(keys, "key", bits_per_item=16)
+    kern = build.kernel()
+    n = keys.count()
+    assert kern.size() == n
+    # no false negatives via Spark-side predicate
+    mc = might_contain_udf(spark, build)
+    hits = keys.where(mc(F.col("key"))).count()
+    assert hits == n
+    # lineage metrics present
+    assert sum(m["rows"] for m in build.metrics) == n
+    assert all(not m["victim_used"] for m in build.metrics)
+
+
+def test_build_partitioning_invariance(spark, docs):
+    """local build with 2 vs 8 partitions → identical membership answers."""
+    keys = docs.select(F.concat_ws("/", "source", "doc_id").alias("key"))
+    n = keys.count()
+    b2 = build_cuckoo_filter(keys, "key", capacity=n, num_partitions=2)
+    b8 = build_cuckoo_filter(keys, "key", capacity=n, num_partitions=8)
+    k2, k8 = b2.kernel(), b8.kernel()
+    assert k2.size() == k8.size() == n
+    probes = [f"src{i}/{i*17}" for i in range(5000)]
+    assert np.array_equal(k2.contain(probes), k8.contain(probes))
+
+
+def test_build_unique_dedup(spark):
+    pdf = spark.createDataFrame(
+        [(f"url{i % 100}",) for i in range(1000)], "url string"
+    )
+    build = build_cuckoo_filter(pdf, "url", capacity=200, unique=True)
+    assert build.kernel().size() == 100
+    assert sum(m["stored"] for m in build.metrics) == 100
+
+
+def test_cuckoo_semi_join_exact_matches_spark_join(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").where(F.col("o_totalprice") > 100000)
+    got = cuckoo_semi_join(li, "l_orderkey", orders, "o_orderkey").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    want = li.join(
+        orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_semi"
+    ).orderBy("l_orderkey", "l_linenumber")
+    assert got.collect() == want.collect()
+
+
+def test_cuckoo_anti_join_exact_matches_spark_join(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").where(F.col("o_totalprice") > 100000)
+    got = cuckoo_anti_join(li, "l_orderkey", orders, "o_orderkey")
+    want = li.join(
+        orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    )
+    assert got.count() == want.count()
+    assert (
+        got.orderBy("l_orderkey", "l_linenumber").collect()
+        == want.orderBy("l_orderkey", "l_linenumber").collect()
+    )
+
+
+def test_semi_join_approximate_superset(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").limit(100)
+    approx = cuckoo_semi_join(li, "l_orderkey", orders, "o_orderkey", exact=False)
+    exact = cuckoo_semi_join(li, "l_orderkey", orders, "o_orderkey", exact=True)
+    a, e = approx.count(), exact.count()
+    assert a >= e
+    # f=16 → FP ~0.012%, superset should be tight
+    assert a <= e * 1.01 + 10
