@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract + BASELINE.md M6 protocol).
+
+Default: runs the headline driver queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the url-insert
+throughput build over a deterministic synthetic pages table, and prints
+ONE JSON line.
+
+--scaling: runs the identical pages build at local[8] and local[32] in
+separate JVMs (subprocess) and reports throughput at both plus scaling
+efficiency = (T_N / T_4N) / 4 — the sandbox evidence for the north_rule
+two-cluster-size criterion (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
+PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/spark_graft_bench")
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cuckoo-filter-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_pages(spark, n_rows: int) -> str:
+    """Deterministic pages table cached as parquet (generation excluded
+    from measurement)."""
+    path = f"{PAGES_CACHE}/pages_{n_rows}.parquet"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        from cuckoo_filter_spark.sources.pages import synth_pages
+
+        synth_pages(spark, n_rows, n_hosts=10000, seed=42).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_build_bench(spark, n_rows: int) -> dict:
+    """url-insert throughput: build a (b=4, f=16) membership filter over
+    the pages url column; report inserts/sec, load, FP rate."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+
+    path = ensure_pages(spark, n_rows)
+    pages = spark.read.parquet(path).select("url")
+    pages.count()  # warm the scan / page cache so build time ≈ build cost
+
+    t0 = time.perf_counter()
+    build = build_cuckoo_filter(
+        pages, "url", capacity=n_rows, bits_per_item=16, mode="unique_local"
+    )
+    wall = time.perf_counter() - t0
+
+    kern = build.kernel()
+    # FP probe: urls guaranteed absent (host namespace disjoint)
+    import numpy as np
+
+    probes = [f"https://absent{i}.example.test/q/{i}" for i in range(100_000)]
+    fp = float(kern.contain(probes).mean())
+    return {
+        "rows": n_rows,
+        "build_sec": round(wall, 3),
+        "inserts_per_sec": round(n_rows / wall, 1),
+        "stored": kern.size(),
+        "load_factor": round(kern.load_factor(), 4),
+        "fp_rate": fp,
+        "kicks": sum(m["kicks"] for m in build.metrics),
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.collect()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def scaling_child(cpus: int, n_rows: int) -> None:
+    spark = make_spark(cpus)
+    res = run_build_bench(spark, n_rows)
+    print("SCALING_RESULT " + json.dumps(res))
+    spark.stop()
+
+
+def run_scaling(n_rows: int) -> dict:
+    out = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cpus), str(n_rows)],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+        if not line:
+            raise RuntimeError(f"scaling child failed:\n{proc.stdout}\n{proc.stderr[-3000:]}")
+        out[f"local[{cpus}]"] = json.loads(line[-1].removeprefix("SCALING_RESULT "))
+    t8 = out["local[8]"]["inserts_per_sec"]
+    t32 = out["local[32]"]["inserts_per_sec"]
+    out["scaling_efficiency"] = round((t32 / t8) / 4.0, 3)
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+
+    if "--scaling" in sys.argv:
+        scaling = run_scaling(SCALING_ROWS)
+        print(json.dumps({"scaling": scaling}))
+        return
+
+    spark = make_spark(cpus)
+    t_total0 = time.perf_counter()
+    qtimes = run_queries(spark, sf_dir)
+    build = run_build_bench(spark, BENCH_ROWS)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "url_inserts_per_sec": build["inserts_per_sec"],
+                "build": build,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,14 @@ def pack_single(slots: np.ndarray, bits_per_item: int) -> bytes:
     """uint32[nb, b] → reference SingleTable bucket bytes."""
     f = bits_per_item
     tags = slots.reshape(-1).astype(np.uint32)
+    # byte-aligned fast paths (single memcpy-style cast); the LSB-first
+    # bitstream at f ∈ {8,16,32} is exactly a little-endian uint array
+    if f == 8:
+        return tags.astype("<u1").tobytes()
+    if f == 16:
+        return tags.astype("<u2").tobytes()
+    if f == 32:
+        return tags.astype("<u4").tobytes()
     n = tags.shape[0]
     bits = np.zeros(n * f, dtype=np.uint8)
     for t in range(f):
@@ -63,6 +71,10 @@ def pack_single(slots: np.ndarray, bits_per_item: int) -> bytes:
 def unpack_single(data: bytes, num_buckets: int, b: int, f: int) -> np.ndarray:
     """Reference SingleTable bucket bytes → uint32[nb, b]."""
     n = num_buckets * b
+    if f in (8, 16, 32):
+        dt = {8: "<u1", 16: "<u2", 32: "<u4"}[f]
+        tags = np.frombuffer(data, dtype=dt, count=n).astype(np.uint32)
+        return tags.reshape(num_buckets, b)
     raw = np.frombuffer(data, dtype=np.uint8)
     bits = np.unpackbits(raw, count=n * f, bitorder="little")
     tags = np.zeros(n, dtype=np.uint32)

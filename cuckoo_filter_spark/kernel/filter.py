@@ -145,8 +145,16 @@ class CuckooKernel:
         ok[todo] = True
         return ok
 
-    def _insert_frontier(self, cur_i: np.ndarray, cur_t: np.ndarray) -> None:
-        """Frontier kick loop. Mutates slots/num_items/victim in place."""
+    def _insert_frontier(
+        self, cur_i: np.ndarray, cur_t: np.ndarray, chunk: int = 1 << 17
+    ) -> None:
+        """Frontier kick loop, fed in chunks (sequential-batch semantics;
+        keeps each round's sort/group work cache-sized)."""
+        for s in range(0, len(cur_i), chunk):
+            self._insert_frontier_chunk(cur_i[s : s + chunk], cur_t[s : s + chunk])
+
+    def _insert_frontier_chunk(self, cur_i: np.ndarray, cur_t: np.ndarray) -> None:
+        """One frontier batch. Mutates slots/num_items/victim in place."""
         n = len(cur_i)
         if n == 0:
             return
@@ -163,14 +171,20 @@ class CuckooKernel:
             if act.size == 0:
                 break
             bi = cur_i[act]
-            srt = np.lexsort((act, bi))  # by bucket, then original order (stable)
+            # stable sort by bucket preserves original order within groups
+            srt = np.argsort(bi, kind="stable")
             s_items = act[srt]
             s_b = bi[srt]
-            uniq, start, counts = np.unique(s_b, return_index=True, return_counts=True)
-            free = (slots[uniq] == 0).sum(axis=1)
-            group_id = np.repeat(np.arange(len(uniq)), counts)
-            rank = np.arange(len(s_b)) - start[group_id]
-            free_g = free[group_id]
+            # group boundaries without a second sort
+            newgrp = np.empty(len(s_b), dtype=bool)
+            newgrp[0] = True
+            np.not_equal(s_b[1:], s_b[:-1], out=newgrp[1:])
+            start = np.flatnonzero(newgrp)
+            uniq = s_b[start]
+            gid = np.cumsum(newgrp) - 1
+            rank = np.arange(len(s_b)) - start[gid]
+            free = (slots[uniq] == 0).sum(axis=1, dtype=np.int64)
+            free_g = free[gid]
             place = rank < free_g
 
             p_items = s_items[place]
@@ -178,7 +192,7 @@ class CuckooKernel:
                 pb = cur_i[p_items]
                 prank = rank[place]
                 z = slots[pb] == 0
-                c = np.cumsum(z, axis=1)
+                c = np.cumsum(z, axis=1, dtype=np.int8)
                 slot_j = np.argmax((c == (prank + 1)[:, None]) & z, axis=1)
                 slots[pb, slot_j] = cur_t[p_items]
                 self.num_items += int(p_items.size)
@@ -296,19 +310,43 @@ class CuckooKernel:
     # involution: a tag stored at bucket i re-inserted at i preserves its
     # original candidate pair {i, alt(i, tag)}.
     # ------------------------------------------------------------------
-    def merge(self, other: "CuckooKernel") -> "CuckooKernel":
+    def merge(self, other: "CuckooKernel", dedupe: bool = False) -> "CuckooKernel":
+        """Union-in-place. dedupe=True keeps at most one copy per
+        (bucket-pair, tag) — set semantics for membership filters built
+        with AddUnique; dedupe=False preserves multiset union."""
         if self.params != other.params:
             raise ValueError(f"cannot merge filters with different params: "
                              f"{self.params} vs {other.params}")
         bi, sj = np.nonzero(other.slots)
-        tags = other.slots[bi, sj]
-        self._insert_frontier(bi.astype(np.int64), tags.astype(np.uint32))
+        tags = other.slots[bi, sj].astype(np.uint32)
+        bi = bi.astype(np.int64)
         if other.victim_used:
-            self._insert_frontier(
-                np.array([other.victim_index], dtype=np.int64),
-                np.array([other.victim_tag], dtype=np.uint32),
-            )
+            bi = np.concatenate([bi, np.array([other.victim_index], dtype=np.int64)])
+            tags = np.concatenate([tags, np.array([other.victim_tag], dtype=np.uint32)])
+        self.insert_pairs(bi, tags, dedupe=dedupe)
         return self
+
+    def insert_pairs(self, bi: np.ndarray, tags: np.ndarray, dedupe: bool = False) -> int:
+        """Insert raw (bucket, tag) pairs — the sparse-partial merge path.
+        Sound at any stored index because alt_index is an involution.
+        Returns the number of pairs inserted (after dedupe)."""
+        bi = bi.astype(np.int64)
+        tags = tags.astype(np.uint32)
+        if dedupe and len(bi):
+            canon = self.canonical_pair(bi, tags)
+            _, first = np.unique(canon, return_index=True)
+            first = np.sort(first)
+            bi, tags = bi[first], tags[first]
+            present = self.contain_hashed(bi, tags)
+            bi, tags = bi[~present], tags[~present]
+        self._insert_frontier(bi, tags)
+        return len(bi)
+
+    def canonical_pair(self, bi: np.ndarray, tags: np.ndarray) -> np.ndarray:
+        """Orientation-independent id of (candidate pair, tag)."""
+        alt = alt_index(bi, tags, self.params.num_buckets)
+        canon = np.minimum(bi, alt).astype(np.uint64) << np.uint64(32)
+        return canon | tags.astype(np.uint64)
 
     # ------------------------------------------------------------------
     # stats

@@ -1,37 +1,47 @@
 """Distributed cuckoo-filter build (build plan M2, lifecycle SURVEY.md §3).
 
 The build is the mergeable-UDAF pattern Spark uses for its own partial
-aggregates: a per-partition *partial* filter is built inside
-``mapInPandas`` (Arrow batches → vectorized metro64 fingerprinting →
-frontier batch insert; no per-row Python), then partials are combined
-with the associative merge (SURVEY.md §2.3 — sound because the
-alt-index is an involution, cuckoofilter.go:105-108).
+aggregates: a per-partition *partial* is computed inside ``mapInPandas``
+(Arrow batches → vectorized metro64 fingerprinting; no per-row Python),
+partials are combined with the associative merge (SURVEY.md §2.3 —
+sound because the alt-index is an involution, cuckoofilter.go:105-108).
 
-All partials share the final filter's exact (b, f, num_buckets,
-table_type), so merged indices align. Partition count does not affect
-membership answers (asserted in tests at local[2]/local[8]).
+Two partial representations:
+
+* ``sparse`` (default) — a partial is the array of (bucket, tag) pairs
+  (locally deduped in unique modes). This is a cuckoo filter whose
+  eviction work is deferred: insertion order is free, so running the
+  kick loop once at combine time yields the same membership. Partial
+  size ∝ keys in the partition (8 bytes/key), NOT table size — at 10^12
+  rows the collected/shuffled volume is the data's fingerprint volume,
+  and no executor ever materializes a full table during the scan.
+* ``table`` — a partial is a full-size filter blob (§1.5 bytes); merge
+  is merge-by-reinsertion of occupied slots. Demonstrates blob-level
+  merge associativity; preferred when partials are reused standalone.
 
 Scale notes (100 TB / 10^12 rows):
-* plain mode is shuffle-free: partials build on whatever partitioning
-  the scan produced; only the (small per partition count) blob rows move.
-* ``unique=True`` adds exactly one shuffle — ``repartition(key)`` — so
-  duplicate keys co-locate and partition-local AddUnique is globally
-  exact. This is the dedup-build used by distinct-url workloads.
-* for filters whose table exceeds executor memory, use
+* plain/unique_local modes are shuffle-free: partials build on the scan
+  partitioning; only pair blobs move to the combiner.
+* ``unique_global`` adds exactly one shuffle — ``repartition(key)`` — so
+  duplicate keys co-locate and partition-local dedupe is globally exact.
+* one driver-combined filter caps out around 10^8 keys; beyond that use
   ``cuckoo_filter_spark.operators.sharded`` (shard by fingerprint top
-  bits; each shard built/merged independently).
+  bits; each shard built/combined independently on executors).
 """
 
 from __future__ import annotations
 
+import struct
 import time
 from dataclasses import dataclass, field
 from functools import reduce
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
-from cuckoo_filter_spark.kernel.filter import CuckooKernel
+from cuckoo_filter_spark.hashing import metro64_batch
+from cuckoo_filter_spark.kernel.filter import CuckooKernel, alt_index, split_hash
 from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
 
 BUILD_SCHEMA = (
@@ -42,6 +52,25 @@ BUILD_SCHEMA = (
 # Default headroom over the observed/declared key count when sizing the
 # table, so merged partials stay under max_load_factor (SURVEY.md §7 M5).
 DEFAULT_HEADROOM = 1.15
+
+_SPARSE_MAGIC = b"SPRS"
+
+
+def pack_pairs(bi: np.ndarray, tags: np.ndarray) -> bytes:
+    return (
+        _SPARSE_MAGIC
+        + struct.pack("<Q", len(bi))
+        + bi.astype("<u4").tobytes()
+        + tags.astype("<u4").tobytes()
+    )
+
+
+def unpack_pairs(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    assert blob[:4] == _SPARSE_MAGIC
+    (n,) = struct.unpack_from("<Q", blob, 4)
+    bi = np.frombuffer(blob, dtype="<u4", count=n, offset=12).astype(np.int64)
+    tags = np.frombuffer(blob, dtype="<u4", count=n, offset=12 + 4 * n).astype(np.uint32)
+    return bi, tags
 
 
 @dataclass
@@ -60,15 +89,8 @@ class CuckooBuild:
         return self.kernel().size()
 
     def metrics_df(self, spark):
-        cols = [
-            "partition_id",
-            "rows",
-            "stored",
-            "kicks",
-            "victim_used",
-            "load_factor",
-            "wall_ms",
-        ]
+        cols = ["partition_id", "rows", "stored", "kicks", "victim_used",
+                "load_factor", "wall_ms"]
         rows = [tuple(m[c] for c in cols) for m in self.metrics]
         return spark.createDataFrame(
             rows,
@@ -77,8 +99,54 @@ class CuckooBuild:
         )
 
 
-def _partial_builder(params: CuckooParams, key_col: str, unique: bool):
-    """mapInPandas function: one partial filter per partition."""
+def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool):
+    """mapInPandas: fingerprint + locally dedupe; emit (bucket, tag) pairs."""
+
+    nb, f = params.num_buckets, params.bits_per_item
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        rows = 0
+        t0 = time.perf_counter()
+        bis: list[np.ndarray] = []
+        tgs: list[np.ndarray] = []
+        for pdf in batches:
+            keys = pdf[key_col]
+            if len(keys) == 0:
+                continue
+            rows += len(keys)
+            idx, tag = split_hash(metro64_batch(keys), nb, f)
+            bis.append(idx)
+            tgs.append(tag)
+        bi = np.concatenate(bis) if bis else np.zeros(0, dtype=np.int64)
+        tags = np.concatenate(tgs) if tgs else np.zeros(0, dtype=np.uint32)
+        if unique and len(bi):
+            alt = alt_index(bi, tags, nb)
+            canon = (np.minimum(bi, alt).astype(np.uint64) << np.uint64(32)) | tags
+            _, first = np.unique(canon, return_index=True)
+            first = np.sort(first)
+            bi, tags = bi[first], tags[first]
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "rows": [rows],
+                "stored": [len(bi)],
+                "kicks": [0],
+                "victim_used": [False],
+                "load_factor": [len(bi) / params.size_in_tags],
+                "wall_ms": [wall_ms],
+                "blob": [pack_pairs(bi, tags)],
+            }
+        )
+
+    return build
+
+
+def _table_partial_builder(params: CuckooParams, key_col: str, unique: bool):
+    """mapInPandas: one full-size partial filter blob per partition."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -90,14 +158,10 @@ def _partial_builder(params: CuckooParams, key_col: str, unique: bool):
         t0 = time.perf_counter()
         for pdf in batches:
             keys = pdf[key_col]
-            n = len(keys)
-            if n == 0:
+            if len(keys) == 0:
                 continue
-            rows += n
-            if unique:
-                ok = kern.add_unique(keys)
-            else:
-                ok = kern.add(keys)
+            rows += len(keys)
+            ok = kern.add_unique(keys) if unique else kern.add(keys)
             stored += int(ok.sum())
         wall_ms = (time.perf_counter() - t0) * 1000.0
         yield pd.DataFrame(
@@ -123,7 +187,8 @@ def build_cuckoo_filter(
     tags_per_bucket: int = 4,
     bits_per_item: int = 16,
     table_type: int = TABLE_SINGLE,
-    unique: bool = False,
+    mode: str = "unique_local",
+    partial_format: str = "sparse",
     num_partitions: int | None = None,
     headroom: float = DEFAULT_HEADROOM,
     params: CuckooParams | None = None,
@@ -131,9 +196,24 @@ def build_cuckoo_filter(
     """Build one global cuckoo filter over ``df[key_col]``.
 
     capacity: expected number of keys; if None, counted with a cheap
-    ``df.count()`` (column-pruned scan). ``unique=True`` shuffles by key
-    so AddUnique is globally exact (exactly one stored copy per key).
+    ``df.count()`` (column-pruned scan).
+
+    mode:
+    * ``unique_local`` (default) — set semantics for membership filters:
+      per-partition fingerprint dedupe + dedup combine; no shuffle; one
+      stored copy per fingerprint. (A key's copies can only occupy its 2
+      candidate buckets — ≤ 2b slots — so multiset inserts of heavily
+      duplicated keys overflow; membership never needs the copies.)
+    * ``unique_global`` — additionally ``repartition(key)`` so duplicate
+      keys co-locate; per-partition stored counts then sum to the exact
+      global distinct count (one shuffle).
+    * ``multiset`` — reference Add semantics (one copy per row); needed
+      when delete must track per-row copies.
     """
+    if mode not in ("unique_local", "unique_global", "multiset"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if partial_format not in ("sparse", "table"):
+        raise ValueError(f"unknown partial_format {partial_format!r}")
     sel = df.select(key_col)
     if params is None:
         if capacity is None:
@@ -142,7 +222,7 @@ def build_cuckoo_filter(
             max(int(capacity * headroom), 64), tags_per_bucket, bits_per_item, table_type
         )
 
-    if unique:
+    if mode == "unique_global":
         from pyspark.sql import functions as F
 
         n = num_partitions or sel.sparkSession.sparkContext.defaultParallelism
@@ -150,18 +230,32 @@ def build_cuckoo_filter(
     elif num_partitions:
         sel = sel.repartition(num_partitions)
 
-    parts = sel.mapInPandas(_partial_builder(params, key_col, unique), BUILD_SCHEMA)
-    rows = parts.collect()  # one small row per partition (blob + metrics)
+    unique = mode != "multiset"
+    builder = (
+        _sparse_partial_builder(params, key_col, unique)
+        if partial_format == "sparse"
+        else _table_partial_builder(params, key_col, unique)
+    )
+    parts = sel.mapInPandas(builder, BUILD_SCHEMA)
+    rows = parts.collect()  # one small row per partition (pairs/metrics)
+    rows.sort(key=lambda r: r["partition_id"])  # deterministic combine order
 
     metrics = [
         {k: r[k] for k in ("partition_id", "rows", "stored", "kicks", "victim_used",
                            "load_factor", "wall_ms")}
         for r in rows
     ]
-    kernels = (CuckooKernel.from_bytes(bytes(r["blob"])) for r in rows if r["rows"] > 0)
-    try:
-        first = next(kernels)
-    except StopIteration:
-        first = CuckooKernel(params)
-    merged = reduce(lambda a, b: a.merge(b), kernels, first)
+
+    merged = CuckooKernel(params)
+    if partial_format == "sparse":
+        pairs = [unpack_pairs(bytes(r["blob"])) for r in rows if r["rows"] > 0]
+        if pairs:
+            bi = np.concatenate([p[0] for p in pairs])
+            tags = np.concatenate([p[1] for p in pairs])
+            merged.insert_pairs(bi, tags, dedupe=unique)
+    else:
+        kernels = (
+            CuckooKernel.from_bytes(bytes(r["blob"])) for r in rows if r["rows"] > 0
+        )
+        merged = reduce(lambda a, b: a.merge(b, dedupe=unique), kernels, merged)
     return CuckooBuild(params=params, blob=merged.to_bytes(), metrics=metrics)

@@ -1,0 +1,20 @@
+"""Companion mergeable sketches (north_rule): Bloom, HLL, count-min,
+t-digest, KLL — all sharing the cuckoo filter's vectorized Arrow-batch
+update path (metro64 over Arrow buffers → numpy batch update) and the
+same partial-build + associative-merge distribution pattern."""
+
+from cuckoo_filter_spark.sketches.base import build_sketch
+from cuckoo_filter_spark.sketches.bloom import BloomSketch
+from cuckoo_filter_spark.sketches.countmin import CountMinSketch
+from cuckoo_filter_spark.sketches.hll import HLLSketch
+from cuckoo_filter_spark.sketches.kll import KLLSketch
+from cuckoo_filter_spark.sketches.tdigest import TDigestSketch
+
+__all__ = [
+    "build_sketch",
+    "BloomSketch",
+    "HLLSketch",
+    "CountMinSketch",
+    "TDigestSketch",
+    "KLLSketch",
+]

@@ -1,0 +1,85 @@
+"""Bloom filter — mergeable bit-array sketch on the shared update path.
+
+Classic Bloom with double hashing (Kirsch–Mitzenmacher): position_i =
+(h1 + i·h2) mod m, with h1/h2 the two 32-bit halves of the shared
+metro64(key, 1337) hash — the same single hash evaluation the cuckoo
+filter uses, so the Arrow-batch path is identical. Merge = bitwise OR
+(associative, commutative, idempotent). No false negatives.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from cuckoo_filter_spark.hashing import metro64_batch
+
+_MAGIC = b"BLM1"
+
+
+class BloomSketch:
+    """m-bit Bloom filter (m a power of two), k probes."""
+
+    def __init__(self, capacity: int = 0, fpp: float = 0.01,
+                 n_bits: int | None = None, n_hashes: int | None = None):
+        if n_bits is None:
+            ideal = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+            n_bits = 1 << (ideal - 1).bit_length()
+        if n_bits & (n_bits - 1):
+            raise ValueError("n_bits must be a power of two")
+        if n_hashes is None:
+            n_hashes = max(1, round(n_bits / max(capacity, 1) * math.log(2)))
+        self.n_bits = n_bits
+        self.n_hashes = int(n_hashes)
+        self.bits = np.zeros(n_bits >> 3, dtype=np.uint8)
+        self.n_items = 0  # update count (not distinct)
+
+    # -- shared Arrow-batch update path --
+    def update(self, items) -> None:
+        self.update_hashed(metro64_batch(items))
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        h1 = (h >> np.uint64(32)).astype(np.uint64)
+        h2 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64) | np.uint64(1)  # odd → full cycle
+        i = np.arange(self.n_hashes, dtype=np.uint64)[:, None]
+        return (h1 + i * h2) & np.uint64(self.n_bits - 1)  # [k, n]
+
+    def update_hashed(self, h: np.ndarray) -> None:
+        pos = self._positions(h).reshape(-1)
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        self.n_items += len(h)
+
+    def contains(self, items) -> np.ndarray:
+        return self.contains_hashed(metro64_batch(items))
+
+    def contains_hashed(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(h)  # [k, n]
+        byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        return bit.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomSketch") -> "BloomSketch":
+        if (self.n_bits, self.n_hashes) != (other.n_bits, other.n_hashes):
+            raise ValueError("bloom param mismatch")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        self.n_items += other.n_items
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.bits).mean())
+
+    def to_bytes(self) -> bytes:
+        head = _MAGIC + struct.pack("<QIQ", self.n_bits, self.n_hashes, self.n_items)
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomSketch":
+        assert data[:4] == _MAGIC
+        n_bits, n_hashes, n_items = struct.unpack_from("<QIQ", data, 4)
+        out = cls(n_bits=n_bits, n_hashes=n_hashes)
+        out.bits = np.frombuffer(data[24:], dtype=np.uint8).copy()
+        out.n_items = n_items
+        return out

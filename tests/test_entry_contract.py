@@ -1,0 +1,66 @@
+"""Simulates the driver's correctness gate: run every queries() entry at
+sf0.01 and compare against oracle_sql() via DuckDB (row count + columns +
+order-insensitive values)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    out = []
+    for r in rows:
+        d = dict(zip(cols, r)) if not isinstance(r, dict) else r
+        vals = []
+        for c in sorted(cols):
+            v = d[c]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", list(entry_mod.queries().keys()))
+def test_query_matches_oracle(name, spark, duck):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    df = q(spark, SF_DIR)
+    got_cols = df.columns
+    got = _normalize([tuple(r) for r in df.collect()], got_cols)
+    if sql is None:
+        assert len(got) >= 0
+        return
+    res = duck.execute(sql)
+    want_cols = [d[0] for d in res.description]
+    want = _normalize(res.fetchall(), want_cols)
+    assert sorted(got_cols) == sorted(want_cols), f"{name}: column mismatch"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) or isinstance(wv, float):
+                assert math.isclose(float(gv), float(wv), rel_tol=1e-9), (name, g, w)
+            else:
+                assert gv == wv, (name, g, w)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]

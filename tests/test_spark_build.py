@@ -50,7 +50,7 @@ def test_build_unique_dedup(spark):
     pdf = spark.createDataFrame(
         [(f"url{i % 100}",) for i in range(1000)], "url string"
     )
-    build = build_cuckoo_filter(pdf, "url", capacity=200, unique=True)
+    build = build_cuckoo_filter(pdf, "url", capacity=200, mode="unique_global")
     assert build.kernel().size() == 100
     assert sum(m["stored"] for m in build.metrics) == 100
 
