@@ -24,7 +24,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "64000000"))
 PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/spark_graft_bench")
 
 
@@ -45,47 +45,64 @@ def make_spark(cpus: int):
     )
 
 
-def ensure_pages(spark, n_rows: int) -> str:
+def ensure_pages(spark, n_rows: int, urls_only: bool = False) -> str:
     """Deterministic pages table cached as parquet (generation excluded
     from measurement)."""
-    path = f"{PAGES_CACHE}/pages_{n_rows}.parquet"
+    kind = "urls" if urls_only else "pages"
+    path = f"{PAGES_CACHE}/{kind}_{n_rows}.parquet"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
-        from cuckoo_filter_spark.sources.pages import synth_pages
+        from cuckoo_filter_spark.sources.pages import synth_pages, synth_urls
 
-        synth_pages(spark, n_rows, n_hosts=10000, seed=42).write.mode("overwrite").parquet(path)
+        gen = synth_urls if urls_only else synth_pages
+        gen(spark, n_rows, n_hosts=10000, seed=42).write.mode("overwrite").parquet(path)
     return path
 
 
-def run_build_bench(spark, n_rows: int) -> dict:
+def run_build_bench(spark, n_rows: int, sharded: bool = False) -> dict:
     """url-insert throughput: build a (b=4, f=16) membership filter over
-    the pages url column; report inserts/sec, load, FP rate."""
-    from pyspark.sql import functions as F
+    the pages url column; report inserts/sec, load, FP rate.
 
-    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
-
-    path = ensure_pages(spark, n_rows)
+    sharded=True uses the fully-distributed sharded build (the 10^12
+    scale path; also the scaling-efficiency protocol since it has no
+    driver-side combine bottleneck)."""
+    path = ensure_pages(spark, n_rows, urls_only=sharded)
     pages = spark.read.parquet(path).select("url")
     pages.count()  # warm the scan / page cache so build time ≈ build cost
 
     t0 = time.perf_counter()
-    build = build_cuckoo_filter(
-        pages, "url", capacity=n_rows, bits_per_item=16, mode="unique_local"
-    )
-    wall = time.perf_counter() - t0
+    if sharded:
+        from cuckoo_filter_spark.operators.sharded import build_sharded_cuckoo_filter
 
-    kern = build.kernel()
+        build = build_sharded_cuckoo_filter(
+            pages, "url", capacity=n_rows, bits_per_item=16, num_shards=32
+        )
+        wall = time.perf_counter() - t0
+        stored = sum(m["stored"] for m in build.metrics)
+        load = max(m["load_factor"] for m in build.metrics)
+        contain = build.contain
+    else:
+        from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+
+        build = build_cuckoo_filter(
+            pages, "url", capacity=n_rows, bits_per_item=16, mode="unique_local"
+        )
+        wall = time.perf_counter() - t0
+        kern = build.kernel()
+        stored = kern.size()
+        load = kern.load_factor()
+        contain = kern.contain
+
     # FP probe: urls guaranteed absent (host namespace disjoint)
-    import numpy as np
-
     probes = [f"https://absent{i}.example.test/q/{i}" for i in range(100_000)]
-    fp = float(kern.contain(probes).mean())
+    fp = float(contain(probes).mean())
     return {
         "rows": n_rows,
+        "sharded": sharded,
         "build_sec": round(wall, 3),
         "inserts_per_sec": round(n_rows / wall, 1),
-        "stored": kern.size(),
-        "load_factor": round(kern.load_factor(), 4),
+        "stored": int(stored),
+        "load_factor": round(float(load), 4),
         "fp_rate": fp,
         "kicks": sum(m["kicks"] for m in build.metrics),
     }
@@ -105,7 +122,8 @@ def run_queries(spark, sf_dir: str) -> dict:
 
 def scaling_child(cpus: int, n_rows: int) -> None:
     spark = make_spark(cpus)
-    res = run_build_bench(spark, n_rows)
+    run_build_bench(spark, min(n_rows, 500_000), sharded=True)  # warm up JVM/numpy
+    res = run_build_bench(spark, n_rows, sharded=True)
     print("SCALING_RESULT " + json.dumps(res))
     spark.stop()
 

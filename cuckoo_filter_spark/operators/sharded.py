@@ -1,0 +1,246 @@
+"""Sharded cuckoo filters — the beyond-memory / fully-distributed path
+(SURVEY.md §4.3, build plan M5).
+
+A single filter for 10^12 keys does not fit one process (f=16, b=4 →
+~2 TB of table), and a single combiner is an Amdahl bottleneck. The
+sharded build keeps everything distributed:
+
+* shard id = top log2(S) bits of the shared metro64 hash — disjoint
+  from the bits used for bucket index (hash[32:32+log2(nb)]) and tag
+  (hash[0:32]), so per-shard index/tag distributions are unchanged.
+* build: mapInPandas fingerprints each scan partition and emits one
+  packed (bucket, tag) pair blob per (partition, shard); a single
+  shuffle groups pair blobs by shard; applyInPandas runs the kick-loop
+  combine per shard in parallel → one filter blob row per shard.
+  Shuffle volume is 8 bytes/key regardless of table size.
+* query: with a modest shard count the blobs are collected + broadcast
+  and probes route by shard inside the UDF; at full scale use
+  ``sharded_might_contain_join`` which co-partitions the probe side with
+  the blob rows instead of broadcasting (one shuffle of the probe keys,
+  no driver materialization).
+
+Each shard is an independent reference-layout filter (§1.5 bytes), so
+all single-filter semantics (merge, delete, serialization, FP bounds)
+apply per shard.
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from cuckoo_filter_spark.hashing import metro64_batch
+from cuckoo_filter_spark.kernel.filter import CuckooKernel, split_hash
+from cuckoo_filter_spark.operators.build import (
+    DEFAULT_HEADROOM,
+    pack_pairs,
+    unpack_pairs,
+)
+from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
+
+PAIRS_SCHEMA = "shard int, n bigint, rows bigint, blob binary"
+SHARD_SCHEMA = (
+    "shard int, rows bigint, stored bigint, kicks bigint, victim_used boolean, "
+    "load_factor double, wall_ms double, blob binary"
+)
+
+
+def shard_of(h: np.ndarray, num_shards: int) -> np.ndarray:
+    """Top log2(S) hash bits — disjoint from index/tag bits."""
+    return (h >> np.uint64(64 - int(np.log2(num_shards)))).astype(np.int32)
+
+
+@dataclass
+class ShardedCuckooBuild:
+    params: CuckooParams  # per-shard params
+    num_shards: int
+    blobs: dict[int, bytes]  # shard → filter blob (driver-collected)
+    metrics: list[dict] = field(default_factory=list)
+
+    def kernels(self) -> dict[int, CuckooKernel]:
+        return {s: CuckooKernel.from_bytes(b) for s, b in self.blobs.items()}
+
+    @property
+    def size(self) -> int:
+        return sum(k.size() for k in self.kernels().values())
+
+    def contain(self, items) -> np.ndarray:
+        """Driver-side probe (tests / small batches)."""
+        h = metro64_batch(items)
+        return _probe_sharded(h, self.blobs, self.params, self.num_shards)
+
+
+_SHARD_KERNEL_CACHE: dict[tuple, CuckooKernel] = {}
+
+
+def _probe_sharded(
+    h: np.ndarray, blobs: dict[int, bytes], params: CuckooParams, num_shards: int,
+    cache_key=None,
+) -> np.ndarray:
+    out = np.zeros(len(h), dtype=bool)
+    if len(h) == 0:
+        return out
+    shards = shard_of(h, num_shards)
+    order = np.argsort(shards, kind="stable")
+    sh_sorted = shards[order]
+    bounds = np.flatnonzero(np.r_[True, sh_sorted[1:] != sh_sorted[:-1]])
+    bounds = np.r_[bounds, len(sh_sorted)]
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        s = int(sh_sorted[lo])
+        blob = blobs.get(s)
+        if blob is None:
+            continue
+        if cache_key is not None:
+            ck = (cache_key, s)
+            kern = _SHARD_KERNEL_CACHE.get(ck)
+            if kern is None:
+                kern = CuckooKernel.from_bytes(bytes(blob))
+                _SHARD_KERNEL_CACHE[ck] = kern
+        else:
+            kern = CuckooKernel.from_bytes(bytes(blob))
+        rows = order[lo:hi]
+        idx, tag = split_hash(h[rows], params.num_buckets, params.bits_per_item)
+        out[rows] = kern.contain_hashed(idx, tag)
+    return out
+
+
+def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: bool):
+    nb, f = params.num_buckets, params.bits_per_item
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per_shard_bi: dict[int, list] = {}
+        per_shard_tg: dict[int, list] = {}
+        rows = 0
+        for pdf in batches:
+            keys = pdf[key_col]
+            if len(keys) == 0:
+                continue
+            rows += len(keys)
+            h = metro64_batch(keys)
+            shards = shard_of(h, num_shards)
+            idx, tag = split_hash(h, nb, f)
+            order = np.argsort(shards, kind="stable")
+            ss = shards[order]
+            bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+            bounds = np.r_[bounds, len(ss)]
+            for k in range(len(bounds) - 1):
+                lo, hi = bounds[k], bounds[k + 1]
+                s = int(ss[lo])
+                rs = order[lo:hi]
+                per_shard_bi.setdefault(s, []).append(idx[rs])
+                per_shard_tg.setdefault(s, []).append(tag[rs])
+        out_shard, out_n, out_blob = [], [], []
+        for s in sorted(per_shard_bi):
+            bi = np.concatenate(per_shard_bi[s])
+            tg = np.concatenate(per_shard_tg[s])
+            if unique and len(bi):
+                from cuckoo_filter_spark.kernel.filter import alt_index
+
+                alt = alt_index(bi, tg, nb)
+                canon = (np.minimum(bi, alt).astype(np.uint64) << np.uint64(32)) | tg
+                _, first = np.unique(canon, return_index=True)
+                first = np.sort(first)
+                bi, tg = bi[first], tg[first]
+            out_shard.append(s)
+            out_n.append(len(bi))
+            out_blob.append(pack_pairs(bi, tg))
+        yield pd.DataFrame(
+            {"shard": out_shard, "n": out_n,
+             "rows": [rows] * len(out_shard), "blob": out_blob}
+        )
+
+    return emit
+
+
+def _shard_combiner(params: CuckooParams, unique: bool):
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        t0 = time.perf_counter()
+        kern = CuckooKernel(params, seed=0x1337C0FFEE ^ shard)
+        bis, tgs = [], []
+        for blob in pdf["blob"]:
+            bi, tg = unpack_pairs(bytes(blob))
+            bis.append(bi)
+            tgs.append(tg)
+        bi = np.concatenate(bis) if bis else np.zeros(0, dtype=np.int64)
+        tg = np.concatenate(tgs) if tgs else np.zeros(0, dtype=np.uint32)
+        stored = kern.insert_pairs(bi, tg, dedupe=unique)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "rows": [int(pdf["n"].sum())],
+                "stored": [stored],
+                "kicks": [kern.kicks],
+                "victim_used": [kern.victim_used],
+                "load_factor": [kern.load_factor()],
+                "wall_ms": [(time.perf_counter() - t0) * 1000.0],
+                "blob": [kern.to_bytes()],
+            }
+        )
+
+    return combine
+
+
+def build_sharded_cuckoo_filter(
+    df,
+    key_col: str,
+    capacity: int | None = None,
+    num_shards: int = 32,
+    tags_per_bucket: int = 4,
+    bits_per_item: int = 16,
+    table_type: int = TABLE_SINGLE,
+    mode: str = "unique_local",
+    headroom: float = DEFAULT_HEADROOM,
+    collect: bool = True,
+    shards_df_out: list | None = None,
+) -> ShardedCuckooBuild:
+    """Fully-distributed sharded build. One shuffle (pair blobs by
+    shard); the kick-loop combine runs per shard on executors."""
+    if num_shards & (num_shards - 1) or num_shards <= 0:
+        raise ValueError("num_shards must be a power of two")
+    sel = df.select(key_col)
+    if capacity is None:
+        capacity = sel.count()
+    per_shard_cap = max(int(capacity * headroom / num_shards), 64)
+    params = CuckooParams.for_capacity(
+        per_shard_cap, tags_per_bucket, bits_per_item, table_type
+    )
+
+    unique = mode != "multiset"
+    pairs = sel.mapInPandas(_pair_emitter(params, key_col, num_shards, unique), PAIRS_SCHEMA)
+    shards = pairs.groupBy("shard").applyInPandas(_shard_combiner(params, unique), SHARD_SCHEMA)
+    rows = shards.collect()
+    metrics = [
+        {k: r[k] for k in ("shard", "rows", "stored", "kicks", "victim_used",
+                           "load_factor", "wall_ms")}
+        for r in rows
+    ]
+    blobs = {int(r["shard"]): bytes(r["blob"]) for r in rows}
+    return ShardedCuckooBuild(
+        params=params, num_shards=num_shards, blobs=blobs, metrics=metrics
+    )
+
+
+def sharded_might_contain_udf(spark, build: ShardedCuckooBuild):
+    """Broadcast probe UDF: hash once, route by shard, probe per shard."""
+    bcast = spark.sparkContext.broadcast(build.blobs)
+    bid = bcast._jbroadcast.id()
+    params = build.params
+    num_shards = build.num_shards
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        h = metro64_batch(keys)
+        return pd.Series(
+            _probe_sharded(h, bcast.value, params, num_shards, cache_key=bid)
+        )
+
+    return might_contain

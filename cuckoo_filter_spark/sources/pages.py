@@ -155,6 +155,48 @@ def extract_text(html_str: bytes | str) -> str:
     return extract_text_series(pd.Series([html_str])).iloc[0]
 
 
+def _gen_urls(rowids: np.ndarray, n_hosts: int, dup_rate: float, seed: int) -> pd.DataFrame:
+    """urls-only generation, fully vectorized (no per-row Python) — used
+    by the large scaling benches where text/html aren't needed."""
+    rid = rowids.astype(np.uint64) ^ _U64(seed & 0xFFFFFFFFFFFFFFFF)
+    is_dup = (_uniform(rid, 1) < dup_rate) & (rowids > 0)
+    src_row = (np.floor(_uniform(rid, 2) * np.maximum(rowids, 1))).astype(np.int64)
+    url_row = np.where(is_dup, src_row, rowids)
+    url_rid = url_row.astype(np.uint64) ^ _U64(seed & 0xFFFFFFFFFFFFFFFF)
+    cdf = zipf_cdf(n_hosts)
+    host_rank = np.searchsorted(cdf, _uniform(url_rid, 3), side="right")
+    tld = TLDS[(splitmix64(url_rid ^ _U64(5)) % _U64(3)).astype(np.int64)]
+    urls = np.char.add(
+        np.char.add(
+            np.char.add(
+                np.char.add("https://host", host_rank.astype("U8")), ".example."
+            ),
+            tld.astype("U3"),
+        ),
+        np.char.add("/p/", url_row.astype("U16")),
+    )
+    return pd.DataFrame({"url": urls})
+
+
+def synth_urls(
+    spark,
+    n_rows: int,
+    n_hosts: int = 10000,
+    dup_rate: float = 0.10,
+    seed: int = 42,
+    num_partitions: int | None = None,
+):
+    """Distributed urls-only table (vectorized generation)."""
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, num_partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            yield _gen_urls(pdf["id"].to_numpy(), n_hosts, dup_rate, seed)
+
+    return base.mapInPandas(gen, "url string")
+
+
 def synth_pages(
     spark,
     n_rows: int,
