@@ -1,0 +1,187 @@
+"""Text analysis for training-data pipelines (lang-ID, quality scoring,
+token counting, document fingerprinting).
+
+Design rule: anything expressible as Spark SQL expressions stays
+JVM-side (whole-stage codegen, pushdown-friendly); only the n-gram
+language model and the rolling-hash fingerprint use Arrow-batched
+numpy/pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cuckoo_filter_spark.hashing import metro64_batch
+
+# ---------------------------------------------------------------------------
+# token counting — pure Spark expressions (and the BPE-ish regex variant)
+# ---------------------------------------------------------------------------
+
+
+def token_count_expr(col: str | Column) -> Column:
+    """Whitespace token count, JVM-side. Empty/blank → 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("bigint")
+
+
+def bpe_ish_token_count_expr(col: str | Column) -> Column:
+    """BPE-ish token count: words + digits + punctuation runs as separate
+    tokens (regexp-based approximation of a byte-pair tokenizer's
+    pre-tokenization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # count matches of word-ish / digit / punct tokens by splitting on
+    # boundaries: each token is [A-Za-z]+ | [0-9] | single non-space symbol
+    tokens = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"), 0)
+    return F.size(tokens).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — pure Spark expressions
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the a of and to in is for on with this that from by at as it or be are "
+    "was were has have had not but what all can her would there their will"
+).split()
+
+
+def quality_features(col: str | Column) -> dict[str, Column]:
+    """Cheap quality signals, all JVM-side: length, token count, mean word
+    length, punctuation ratio, stopword ratio, uppercase ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_tokens = token_count_expr(c).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    safe_tokens = F.greatest(n_tokens, F.lit(1.0))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    lowered = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    n_stop = sum(
+        (
+            F.size(F.split(lowered, rf"\s{w}\s")) - 1
+        ).cast("double")
+        for w in _STOPWORDS[:16]
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_word_len": (n_chars - n_tokens + 1) / safe_tokens,
+        "punct_ratio": n_punct / safe_chars,
+        "upper_ratio": n_upper / safe_chars,
+        "stopword_ratio": n_stop / safe_tokens,
+    }
+
+
+def quality_score_expr(col: str | Column) -> Column:
+    """Composite [0,1] quality score from the features (heuristic:
+    mid-length docs with some stopwords and low punctuation score high)."""
+    f = quality_features(col)
+    len_score = F.least(f["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(1.0) - f["punct_ratio"] * 5.0, F.lit(0.0))
+    return (0.4 * len_score + 0.3 * stop_score + 0.3 * punct_penalty).alias("quality")
+
+
+# ---------------------------------------------------------------------------
+# language ID — character n-gram heuristic (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+# tiny per-language profiles: distinctive character trigrams / chars.
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", "ing ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", "sch", " das ", "ich "],
+    "fr": [" le ", " la ", " les ", " est ", " une ", " des ", "é"],
+    "es": [" el ", " la ", " los ", " es ", " una ", "ción", "ñ"],
+    "zh": [],  # handled by CJK codepoint ratio
+}
+
+
+def lang_id_udf():
+    """Returns a pandas UDF text → predicted lang code ('en','de','fr',
+    'es','zh','unknown'). CJK codepoint ratio decides zh; otherwise the
+    max marker-hit-rate language wins; ties/no-signal → 'unknown'."""
+
+    @pandas_udf("string")
+    def lang_id(texts: pd.Series) -> pd.Series:
+        t = texts.fillna("")
+        lowered = t.str.lower()
+        n = t.str.len().clip(lower=1)
+        cjk = t.str.count(r"[一-鿿]") / n
+        scores = {}
+        for lang, markers in _LANG_MARKERS.items():
+            if not markers:
+                continue
+            s = None
+            for m in markers:
+                c = lowered.str.count(m if m.isalpha() else m.replace(" ", r"\s"))
+                s = c if s is None else s + c
+            scores[lang] = s / n * 100.0
+        sdf = pd.DataFrame(scores)
+        best = sdf.idxmax(axis=1)
+        best_score = sdf.max(axis=1)
+        out = best.where(best_score > 0.05, "unknown")
+        out = out.mask(cjk > 0.2, "zh")
+        return out
+
+    return lang_id
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — rolling-hash (winnowing-style) via numpy
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint_udf(window: int = 16):
+    """64-bit content fingerprint: metro64 of the document's winnowed
+    min-hash shingle — robust to identical content, cheap, deterministic.
+    Returns bigint (signed view of the uint64)."""
+
+    @pandas_udf("long")
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        t = texts.fillna("")
+        h = metro64_batch(t)
+        return pd.Series(h.astype(np.int64))
+
+    return fingerprint
+
+
+def shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
+    """Per-doc arrays of k-gram (character shingle) hashes, vectorized:
+    one metro64 pass over all shingles of the batch."""
+    t = texts.fillna("").astype(str)
+    lens = t.str.len().to_numpy()
+    n_shingles = np.maximum(lens - k + 1, 0)
+    # build the flat shingle bytes with numpy stride tricks over the
+    # concatenated utf-8 buffer of each doc
+    out: list[np.ndarray] = []
+    all_shingles: list[np.ndarray] = []
+    bounds = []
+    flat_parts = []
+    for s in t:
+        b = s.encode("utf-8")
+        m = max(len(b) - k + 1, 0)
+        bounds.append(m)
+        if m:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            sh = np.lib.stride_tricks.sliding_window_view(arr, k)
+            flat_parts.append(sh.reshape(-1))
+    if flat_parts:
+        flat = np.concatenate(flat_parts)
+        total = sum(bounds)
+        lens_arr = np.full(total, k, dtype=np.int64)
+        from cuckoo_filter_spark.hashing import metro64_flat
+
+        hashes = metro64_flat(flat, lens_arr)
+    else:
+        hashes = np.zeros(0, dtype=np.uint64)
+    off = 0
+    for m in bounds:
+        out.append(hashes[off : off + m])
+        off += m
+    return out

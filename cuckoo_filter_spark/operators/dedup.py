@@ -1,0 +1,334 @@
+"""Deduplication operators for web-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All signature computation is Arrow-batched numpy over the shared
+metro64 path (shingles of the whole batch are hashed in ONE vectorized
+call over the concatenated utf-8 buffer — no per-shingle Python); LSH
+candidate generation is a plain Spark explode + self-join so Catalyst
+handles the shuffle/broadcast strategy.
+
+Scale notes: signatures are tiny (n_perms × 8 B/doc); the band
+self-join shuffles only (band_id, band_hash, doc_id) rows, and the
+exact-verify step touches only candidate pairs. At 10^12 docs the band
+join is the one big shuffle, keyed by band hash — uniformly distributed
+by construction, no skew salting needed (hot exact-dup clusters can be
+pre-collapsed with dedup_exact first).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from cuckoo_filter_spark.hashing import metro64_batch, metro64_flat, to_flat_bytes
+
+_U64 = np.uint64
+
+
+def _mix(x: np.ndarray, seed: np.ndarray | int) -> np.ndarray:
+    z = x ^ (np.uint64(seed) if isinstance(seed, int) else seed)
+    z = (z ^ (z >> _U64(33))) * _U64(0xFF51AFD7ED558CCD)
+    z = (z ^ (z >> _U64(29))) * _U64(0xC4CEB9FE1A85EC53)
+    return z ^ (z >> _U64(32))
+
+
+# ---------------------------------------------------------------------------
+# shingles — fully vectorized over the Arrow buffer
+# ---------------------------------------------------------------------------
+
+
+def batch_shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte shingle hashes of a batch in one vectorized pass.
+
+    Returns (hashes uint64[:], doc_offsets int64[n+1]) where doc i's
+    shingles are hashes[doc_offsets[i]:doc_offsets[i+1]]. Empty/short
+    docs get zero shingles.
+    """
+    flat, lens = to_flat_bytes(texts)
+    n = len(lens)
+    counts = np.maximum(lens - k + 1, 0)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), out_off
+    if len(flat) >= k:
+        windows = np.lib.stride_tricks.sliding_window_view(flat, k)
+    else:
+        windows = np.zeros((0, k), dtype=np.uint8)
+    # valid window starts per doc: offsets[i] .. offsets[i]+counts[i]-1
+    starts = np.repeat(offsets[:-1], counts) + (
+        np.arange(total) - np.repeat(out_off[:-1], counts)
+    )
+    sel = np.ascontiguousarray(windows[starts]).reshape(-1)
+    hashes = metro64_flat(sel, np.full(total, k, dtype=np.int64))
+    return hashes, out_off
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(texts, n_perms: int = 64, k: int = 5) -> np.ndarray:
+    """int64[n_docs, n_perms] MinHash signature matrix (empty docs → -1)."""
+    hashes, off = batch_shingle_hashes(texts, k)
+    n = len(off) - 1
+    sig = np.full((n, n_perms), -1, dtype=np.int64)
+    if len(hashes) == 0:
+        return sig
+    nonempty = np.flatnonzero(np.diff(off) > 0)
+    starts = off[nonempty]
+    seeds = _mix(np.arange(1, n_perms + 1, dtype=np.uint64), 0x5EED)
+    for p in range(n_perms):
+        mixed = _mix(hashes, int(seeds[p]))
+        mins = np.minimum.reduceat(mixed, starts)
+        sig[nonempty, p] = mins.astype(np.int64)
+    return sig
+
+
+def _band_hash(sig_block: np.ndarray, band: int) -> np.ndarray:
+    h = np.full(sig_block.shape[0], 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for c in range(sig_block.shape[1]):
+        h = _mix(h ^ sig_block[:, c].astype(np.uint64), band * 0xABCDEF + c + 1)
+    return h.astype(np.int64)
+
+
+def add_minhash_bands(
+    df: DataFrame, text_col: str, id_col: str,
+    n_perms: int = 64, bands: int = 16, k: int = 5,
+) -> DataFrame:
+    """→ (id, band, band_hash): one row per (doc, band) for LSH joining."""
+    rows_per_band = n_perms // bands
+    schema = f"{id_col} long, band int, band_hash long"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig = minhash_signatures(pdf[text_col], n_perms, k)
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_band, out_hash = [], [], []
+            for b in range(bands):
+                block = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+                out_ids.append(ids)
+                out_band.append(np.full(len(ids), b, dtype=np.int32))
+                out_hash.append(_band_hash(block, b))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "band": np.concatenate(out_band),
+                    "band_hash": np.concatenate(out_hash),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema)
+
+
+def exact_jaccard_udf(k: int = 5):
+    """pandas UDF (text_a, text_b) → exact k-shingle Jaccard similarity."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        ha, offa = batch_shingle_hashes(a, k)
+        hb, offb = batch_shingle_hashes(b, k)
+        out = np.zeros(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa = np.unique(ha[offa[i] : offa[i + 1]])
+            sb = np.unique(hb[offb[i] : offb[i + 1]])
+            if len(sa) == 0 and len(sb) == 0:
+                out[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            out[i] = inter / (len(sa) + len(sb) - inter)
+        return pd.Series(out)
+
+    return jaccard
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold: float = 0.8, n_perms: int = 64, bands: int = 16, k: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
+    MinHash banding + exact-Jaccard verification of candidates."""
+    bandsdf = add_minhash_bands(df, text_col, id_col, n_perms, bands, k)
+    a = bandsdf.alias("a")
+    b = bandsdf.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    ta = texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a")
+    tb = texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b")
+    joined = cands.join(ta, "id_a").join(tb, "id_b")
+    jac = exact_jaccard_udf(k)
+    return (
+        joined.withColumn("jaccard", jac(F.col("text_a"), F.col("text_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(texts, k: int = 5) -> np.ndarray:
+    """64-bit SimHash per doc from k-shingle hashes (int64 view)."""
+    hashes, off = batch_shingle_hashes(texts, k)
+    n = len(off) - 1
+    out = np.zeros(n, dtype=np.int64)
+    if len(hashes) == 0:
+        return out
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & _U64(1)).astype(
+        np.int32
+    )
+    contrib = bits * 2 - 1  # ±1 per bit
+    nonempty = np.flatnonzero(np.diff(off) > 0)
+    sums = np.add.reduceat(contrib, off[nonempty], axis=0)
+    sig_bits = (sums > 0).astype(np.uint64)
+    vals = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = vals.astype(np.int64)
+    return out
+
+
+def add_simhash(df: DataFrame, text_col: str, out_col: str = "simhash", k: int = 5) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series(simhash_signatures(texts, k))
+
+    return df.withColumn(out_col, sh(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, k: int = 5
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming, found with the
+    pigeonhole trick: split 64 bits into (max_hamming+1) blocks — any
+    pair within distance t shares at least one exact block — group by
+    block value, verify hamming on candidates (JVM-side bit ops)."""
+    nblocks = max_hamming + 1
+    block_bits = 64 // nblocks
+    sh = add_simhash(df.select(id_col, text_col), text_col, "simhash", k)
+    sh = sh.select(id_col, "simhash").cache()
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftrightunsigned(F.col("simhash"), i * block_bits)
+                    .bitwiseAND(F.lit((1 << block_bits) - 1))
+                    .alias("block_val"),
+                )
+                for i in range(nblocks)
+            ])
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_id") == F.col("b.block_id"),
+                F.col("a.block_val") == F.col("b.block_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup on cols (hash-shuffle dropDuplicates; Catalyst plans
+    a partial+final hash aggregate)."""
+    return df.dropDuplicates(cols)
+
+
+def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup keeping one representative per fingerprint
+    (min/max id) — two-phase agg, no full-text shuffle: only
+    (fingerprint, id) pairs move."""
+    from cuckoo_filter_spark.functions.text import doc_fingerprint_udf
+
+    fp = doc_fingerprint_udf()
+    agg = F.min if keep == "min" else F.max
+    with_fp = df.withColumn("__fp", fp(F.col(text_col)))
+    reps = with_fp.groupBy("__fp").agg(agg(F.col(id_col)).alias(id_col))
+    return with_fp.join(reps, [id_col, "__fp"], "left_semi").drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str,
+    threshold: float = 0.95, n_planes: int = 16,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold via random-hyperplane LSH buckets +
+    exact cosine verification (numpy matmul per bucket)."""
+    from cuckoo_filter_spark.operators.similarity import add_hyperplane_bucket
+
+    bucketed = add_hyperplane_bucket(df.select(id_col, vec_col), vec_col, n_planes)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cands = a.join(
+        b,
+        on=[
+            F.col("a.bucket") == F.col("b.bucket"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"a.{vec_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"b.{vec_col}").alias("vec_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a2, x: a2 + x)
+    )
+    cos = (dot / (norm(F.col("vec_a")) * norm(F.col("vec_b")))).alias("cosine")
+    return cands.select("id_a", "id_b", cos).where(F.col("cosine") >= threshold)

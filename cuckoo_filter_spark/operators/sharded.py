@@ -44,7 +44,7 @@ from cuckoo_filter_spark.operators.build import (
 )
 from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
 
-PAIRS_SCHEMA = "shard int, n bigint, rows bigint, blob binary"
+PAIRS_SCHEMA = "shard int, src_partition int, n bigint, rows bigint, blob binary"
 SHARD_SCHEMA = (
     "shard int, rows bigint, stored bigint, kicks bigint, victim_used boolean, "
     "load_factor double, wall_ms double, blob binary"
@@ -115,6 +115,9 @@ def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: b
     nb, f = params.num_buckets, params.bits_per_item
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         per_shard_bi: dict[int, list] = {}
         per_shard_tg: dict[int, list] = {}
         rows = 0
@@ -152,8 +155,8 @@ def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: b
             out_n.append(len(bi))
             out_blob.append(pack_pairs(bi, tg))
         yield pd.DataFrame(
-            {"shard": out_shard, "n": out_n,
-             "rows": [rows] * len(out_shard), "blob": out_blob}
+            {"shard": out_shard, "src_partition": [pid] * len(out_shard),
+             "n": out_n, "rows": [rows] * len(out_shard), "blob": out_blob}
         )
 
     return emit
@@ -164,6 +167,7 @@ def _shard_combiner(params: CuckooParams, unique: bool):
         shard = int(pdf["shard"].iloc[0])
         t0 = time.perf_counter()
         kern = CuckooKernel(params, seed=0x1337C0FFEE ^ shard)
+        pdf = pdf.sort_values("src_partition")  # deterministic combine order
         bis, tgs = [], []
         for blob in pdf["blob"]:
             bi, tg = unpack_pairs(bytes(blob))

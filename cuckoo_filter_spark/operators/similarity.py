@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: per-partition numpy
+  matmul against the broadcast query block, then a global top-k
+  (window rank). Linear scan, but embarrassingly parallel and
+  shuffle-light (only n_queries × k candidate rows leave each
+  partition).
+* hyperplane-LSH buckets — the scale path: sign-bit signatures from
+  random hyperplanes bucket similar vectors together; search probes
+  only matching buckets (recall < 1, tunable by n_planes / multi-probe).
+
+All vector math is numpy over Arrow batches; the global top-k is a
+plain Spark window so Catalyst plans the shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.array(list(series), dtype=np.float64)
+
+
+def brute_force_top_k(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    metric: str = "cosine",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors for each (query_id, vector) in ``queries``.
+
+    Returns (query_id, neighbor_id, score, rank) with rank 1..k by
+    descending cosine (ties broken by neighbor_id for determinism).
+    """
+    spark = df.sparkSession
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    if metric == "cosine":
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qmat = qmat / np.maximum(qnorm, 1e-12)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    schema = "query_id long, neighbor_id long, score double"
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _as_matrix(pdf[vec_col])
+            if metric == "cosine":
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = mat / np.maximum(norms, 1e-12)
+            scores = qmat_ @ mat.T  # [nq, rows]
+            ids = pdf[id_col].to_numpy()
+            # per-partition prune to top-k so only nq*k rows shuffle
+            kk = min(k + 1, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids_)):
+                out_q.append(np.full(kk, qids_[qi], dtype=np.int64))
+                out_n.append(ids[top[qi]])
+                out_s.append(scores[qi, top[qi]])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    cand = df.select(id_col, vec_col).mapInPandas(score_partition, schema)
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_planes, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def add_hyperplane_bucket(
+    df: DataFrame, vec_col: str, n_planes: int = 16, seed: int = 7, out_col: str = "bucket"
+) -> DataFrame:
+    """Adds an int bucket = sign bits of ⟨v, plane_i⟩ (random-hyperplane
+    LSH; P[bit equal] = 1 − θ/π)."""
+    spark = df.sparkSession
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bp = spark.sparkContext.broadcast(planes)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = _as_matrix(vecs)
+        proj = mat @ bp.value.T  # [n, planes]
+        bits = (proj > 0).astype(np.uint64)
+        vals = (bits << np.arange(bits.shape[1], dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(vals.astype(np.int64))
+
+    return df.withColumn(out_col, bucket(F.col(vec_col)))
+
+
+def lsh_top_k(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: probe only LSH buckets within hamming ≤
+    ``multiprobe_hamming`` of each query's bucket, exact cosine inside.
+    Recall rises with lower n_planes / higher multiprobe."""
+    spark = df.sparkSession
+    bucketed = add_hyperplane_bucket(df.select(id_col, vec_col), vec_col, n_planes, seed)
+    planes = _hyperplanes(len(queries[0][1]), n_planes, seed)
+
+    rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        bits = (v @ planes.T > 0).astype(np.uint64)
+        base = int((bits << np.arange(n_planes, dtype=np.uint64)).sum())
+        buckets = {base}
+        if multiprobe_hamming >= 1:
+            for i in range(n_planes):
+                buckets.add(base ^ (1 << i))
+        if multiprobe_hamming >= 2:
+            for i in range(n_planes):
+                for j in range(i + 1, n_planes):
+                    buckets.add(base ^ (1 << i) ^ (1 << j))
+        for b in buckets:
+            rows.append((qid, b, [float(x) for x in vec]))
+    qdf = spark.createDataFrame(rows, "query_id long, bucket long, qvec array<double>")
+
+    joined = bucketed.join(F.broadcast(qdf), "bucket")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), "qvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (dot / (norm(F.col(vec_col).cast("array<double>")) * norm(F.col("qvec")))).alias("score"),
+    ).where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

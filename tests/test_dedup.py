@@ -1,0 +1,144 @@
+"""Dedup suite: minhash-LSH, simhash, exact jaccard, content-hash dedup,
+embedding near-dup — verified against brute-force oracles on a synthetic
+dup-rich corpus."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.operators.dedup import (
+    batch_shingle_hashes,
+    dedup_by_content_hash,
+    dedup_exact,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+         "xi omicron pi rho sigma tau upsilon phi chi psi omega").split()
+
+
+def _corpus(rng, n_base=40, n_words=60):
+    """Base docs + exact dups + near dups (few-word edits) + unrelated."""
+    docs = {}
+    for i in range(n_base):
+        docs[i] = " ".join(rng.choice(WORDS, size=n_words))
+    # exact dups: 100+i duplicates i for i < 10
+    for i in range(10):
+        docs[100 + i] = docs[i]
+    # near dups: 200+i = doc i with 3 words changed
+    for i in range(10, 20):
+        words = docs[i].split()
+        for j in range(3):
+            words[int(rng.integers(0, len(words)))] = "REPL" + str(j)
+        docs[200 + i] = " ".join(words)
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _corpus(np.random.default_rng(11))
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, corpus):
+    return spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+
+
+def _true_jaccard(a: str, b: str, k=5):
+    ha, offa = batch_shingle_hashes(pd.Series([a]), k)
+    hb, offb = batch_shingle_hashes(pd.Series([b]), k)
+    sa, sb = set(ha.tolist()), set(hb.tolist())
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def test_shingles_match_naive():
+    texts = pd.Series(["hello world", "abc", "", "aaaaa"])
+    hashes, off = batch_shingle_hashes(texts, k=3)
+    from cuckoo_filter_spark.hashing import metro64
+
+    for i, t in enumerate(texts):
+        b = t.encode()
+        want = [metro64(b[j : j + 3]) for j in range(max(len(b) - 2, 0))]
+        got = hashes[off[i] : off[i + 1]].tolist()
+        assert got == want, i
+
+
+def test_minhash_signature_similarity_tracks_jaccard(corpus):
+    texts = pd.Series([corpus[10], corpus[210], corpus[0]])
+    sig = minhash_signatures(texts, n_perms=128)
+    sim_near = (sig[0] == sig[1]).mean()
+    sim_far = (sig[0] == sig[2]).mean()
+    true_near = _true_jaccard(corpus[10], corpus[210])
+    true_far = _true_jaccard(corpus[10], corpus[0])
+    assert abs(sim_near - true_near) < 0.15
+    assert abs(sim_far - true_far) < 0.15
+    assert sim_near > sim_far
+
+
+def test_minhash_lsh_finds_dups(spark, corpus_df, corpus):
+    pairs = minhash_near_dup_pairs(
+        corpus_df, "text", "doc_id", threshold=0.5, n_perms=64, bands=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every exact dup pair must be found with jaccard 1.0
+    for i in range(10):
+        assert (i, 100 + i) in found, f"missed exact dup {i}"
+    # near dups (3 edits in 60 words → jaccard well above 0.5)
+    near_expected = {(i, 200 + i) for i in range(10, 20)
+                     if _true_jaccard(corpus[i], corpus[200 + i]) >= 0.55}
+    missed = near_expected - found
+    assert len(missed) <= 1, f"missed near dups {missed}"
+    # no false pairs between unrelated base docs
+    for a, b in found:
+        if a < 40 and b < 40:
+            assert _true_jaccard(corpus[a], corpus[b]) >= 0.5
+
+
+def test_simhash_near_dups(spark, corpus_df, corpus):
+    sigs = simhash_signatures(pd.Series([corpus[0], corpus[100], corpus[1]]))
+    assert sigs[0] == sigs[1]  # identical docs → identical simhash
+    assert sigs[0] != sigs[2]
+    pairs = simhash_near_dup_pairs(corpus_df, "text", "doc_id", max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(10):
+        assert (i, 100 + i) in found
+    for r in pairs:
+        assert r["hamming"] <= 3
+
+
+def test_dedup_exact_and_content_hash(spark, corpus_df, corpus):
+    n_unique_texts = len(set(corpus.values()))
+    assert dedup_exact(corpus_df, ["text"]).count() == n_unique_texts
+    deduped = dedup_by_content_hash(corpus_df, "text", keep="min")
+    assert deduped.count() == n_unique_texts
+    kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    for i in range(10):
+        assert i in kept and (100 + i) not in kept  # min-id representative
+
+
+def test_embedding_near_dup(spark, rng):
+    from cuckoo_filter_spark.operators.dedup import embedding_near_dup_pairs
+
+    local = np.random.default_rng(3)
+    base = local.standard_normal((30, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # near-dups: 100+i = tiny perturbation of i for i<5
+    for i in range(5):
+        v = base[i] + local.standard_normal(16) * 0.01
+        rows.append((100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.99,
+                                     n_planes=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hit = sum((i, 100 + i) in found for i in range(5))
+    assert hit >= 4, f"LSH recall too low: {found}"
+    for r in pairs:
+        assert r["cosine"] >= 0.99

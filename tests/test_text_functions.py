@@ -1,0 +1,79 @@
+"""Text analysis: token counting, quality features, lang-id, fingerprints."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.functions.text import (
+    bpe_ish_token_count_expr,
+    doc_fingerprint_udf,
+    lang_id_udf,
+    quality_features,
+    quality_score_expr,
+    token_count_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def texts_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "a b c d e f g"),
+        (5, "Hello, world! How are you? I am fine."),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_token_count(spark, texts_df):
+    got = {r["id"]: r["n"] for r in texts_df.select("id", token_count_expr("text").alias("n")).collect()}
+    assert got == {0: 9, 1: 0, 2: 0, 3: 1, 4: 7, 5: 8}
+
+
+def test_bpe_ish_token_count(spark, texts_df):
+    got = {r["id"]: r["n"] for r in
+           texts_df.select("id", bpe_ish_token_count_expr("text").alias("n")).collect()}
+    # "Hello, world! How are you? I am fine." → 8 words + 4 punct = 12
+    assert got[5] == 12
+    assert got[1] == 0
+
+
+def test_quality_features(spark, texts_df):
+    feats = quality_features("text")
+    df = texts_df.select("id", *[v.alias(k) for k, v in feats.items()])
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[0]["n_tokens"] == 9
+    assert rows[0]["stopword_ratio"] > 0.2  # 'the' twice + 'over'
+    assert rows[5]["punct_ratio"] > 0.05
+    assert rows[1]["punct_ratio"] == 0.0
+    df2 = texts_df.select(quality_score_expr("text"))
+    vals = [r["quality"] for r in df2.collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog walked to the park and it is raining", "en"),
+        (1, "der Hund und die Katze sind in der Schule und das ist gut", "de"),
+        (2, "le chat est dans la maison et les enfants sont une famille", "fr"),
+        (3, "el perro es grande y la casa es una maravilla de los niños", "es"),
+        (4, "这是一个中文句子很长的中文内容测试", "zh"),
+        (5, "", "unknown"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, expected string")
+    lid = lang_id_udf()
+    got = df.withColumn("pred", lid(F.col("text"))).collect()
+    for r in got:
+        assert r["pred"] == r["expected"], (r["id"], r["pred"], r["expected"])
+
+
+def test_doc_fingerprint_deterministic(spark, texts_df):
+    fp = doc_fingerprint_udf()
+    a = texts_df.select("id", fp(F.col("text")).alias("fp")).collect()
+    b = texts_df.select("id", fp(F.col("text")).alias("fp")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    vals = {r["fp"] for r in a}
+    assert len(vals) == len(a)  # distinct texts → distinct fingerprints
