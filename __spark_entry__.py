@@ -19,8 +19,31 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_package(spark: SparkSession) -> None:
+    """Ship cuckoo_filter_spark to executors (the spark-submit
+    --py-files equivalent), so the contract works from any cwd."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "cuckoo_filter_spark")
+    zip_base = os.path.join(tempfile.gettempdir(), "cuckoo_filter_spark_pkg")
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir="cuckoo_filter_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -137,6 +160,176 @@ def q_delete_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: per-lang doc/token/char totals (JVM expressions)."""
+    from cuckoo_filter_spark.functions.text import token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_expr("text")).alias("n_tokens"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _verify_byte_equal(batch: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact-dup verification: keep candidate pairs whose texts are
+    byte-identical (the oracle-checkable final step; near-dup thresholds
+    are covered by the pytest suite on a controlled corpus)."""
+    ta = batch.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    tb = batch.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection via MinHash+LSH candidate pruning +
+    byte-equality verification, over a batch with planted duplicates
+    (documents ∪ re-keyed copies of doc_id<50)."""
+    from cuckoo_filter_spark.operators.dedup import minhash_near_dup_pairs
+
+    batch = _planted_batch(spark, sf_dir)
+    cands = minhash_near_dup_pairs(batch, "text", "doc_id", threshold=0.95)
+    return _verify_byte_equal(batch, cands.select("id_a", "id_b"))
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection via SimHash pigeonhole candidates
+    (hamming ≤ 3) + byte-equality verification, same planted batch."""
+    from cuckoo_filter_spark.operators.dedup import simhash_near_dup_pairs
+
+    batch = _planted_batch(spark, sf_dir)
+    cands = simhash_near_dup_pairs(batch, "text", "doc_id", max_hamming=3)
+    return _verify_byte_equal(batch, cands.select("id_a", "id_b"))
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min candidate pruning + exact verification: top-3 event
+    types by count. CMS never underestimates, so candidates within the
+    error bound of the 3rd estimate cover the true top-3; exact counts
+    restore exactness."""
+    from cuckoo_filter_spark.sketches import CountMinSketch
+    from cuckoo_filter_spark.sketches.base import build_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    cms, _ = build_sketch(ev, "event_type", lambda: CountMinSketch(width=1 << 14, depth=4))
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    import pandas as pd
+
+    est = cms.query(pd.Series(types))
+    order = sorted(zip(types, est), key=lambda x: -x[1])
+    third = order[min(2, len(order) - 1)][1]
+    cand = [t for t, e in order if e + cms.error_bound() >= third]
+    exact = (
+        ev.where(F.col("event_type").isin(cand))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(3)
+    )
+    return exact
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for the first 5 vectors."""
+    from cuckoo_filter_spark.operators.similarity import brute_force_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    out = brute_force_top_k(emb, "embedding", "vec_id", queries, k=3)
+    return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (ROLLUP) — built-in relational coverage."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-2 orders per customer by price, aggregated."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    top2 = orders.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    return (
+        top2.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate (approximate — rows-only check; the
+    pytest suite pins the 4σ error bound vs exact)."""
+    from cuckoo_filter_spark.sketches import HLLSketch
+    from cuckoo_filter_spark.sketches.base import build_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    hll, _ = build_sketch(ev, "user_id", lambda: HLLSketch(p=14))
+    return spark.createDataFrame(
+        [(float(hll.estimate()), float(hll.relative_error()))],
+        "estimate double, rel_error double",
+    )
+
+
+def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest + KLL quantiles of lineitem extendedprice (approximate —
+    rows-only; pytest pins accuracy)."""
+    from cuckoo_filter_spark.sketches import KLLSketch, TDigestSketch
+    from cuckoo_filter_spark.sketches.base import build_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    td, _ = build_sketch(li, "l_extendedprice", lambda: TDigestSketch(delta=200),
+                         value_kind="numeric")
+    kll, _ = build_sketch(li, "l_extendedprice", lambda: KLLSketch(k=200),
+                          value_kind="numeric")
+    rows = [
+        (float(q), float(td.quantile(q)), float(kll.quantile(q)))
+        for q in (0.1, 0.5, 0.9, 0.99)
+    ]
+    return spark.createDataFrame(rows, "q double, tdigest double, kll double")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID predictions over documents (heuristic — rows-only;
+    accuracy pinned in pytest on labeled fixtures)."""
+    from cuckoo_filter_spark.functions.text import lang_id_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    lid = lang_id_udf()
+    return (
+        docs.withColumn("pred", lid(F.col("text")))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -155,6 +348,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "grouped_lang_distinct": q_grouped_lang_distinct,
         "delete_workload": q_delete_workload,
+        "token_stats": q_token_stats,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "heavy_hitters": q_heavy_hitters,
+        "ann_topk": q_ann_topk,
+        "rollup_orders": q_rollup_orders,
+        "window_topn": q_window_topn,
+        # approximate sketches — no SQL oracle (rows-only check);
+        # pytest pins the published error bounds instead
+        "hll_distinct_estimate": q_hll_distinct_estimate,
+        "quantile_sketches": q_quantile_sketches,
+        "lang_id": q_lang_id,
     }
 
 
@@ -199,5 +404,73 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F')
             GROUP BY l_linestatus
             ORDER BY l_linestatus
+        """,
+        "token_stats": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
+                   SUM(length(text)) AS n_chars
+            FROM documents
+            GROUP BY lang ORDER BY lang
+        """,
+        "minhash_dedup": """
+            WITH batch AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM batch a JOIN batch b ON a.text = b.text AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
+        """,
+        "simhash_dedup": """
+            WITH batch AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM batch a JOIN batch b ON a.text = b.text AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
+        """,
+        "heavy_hitters": """
+            SELECT event_type, COUNT(*) AS n
+            FROM events GROUP BY event_type
+            ORDER BY n DESC, event_type LIMIT 3
+        """,
+        "ann_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS score
+                FROM embeddings q JOIN embeddings e ON q.vec_id < 5
+                     AND e.vec_id <> q.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "window_topn": """
+            WITH ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            )
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM ranked WHERE rn <= 2
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
     }

@@ -75,11 +75,13 @@ def run_build_bench(spark, n_rows: int, sharded: bool = False) -> dict:
         from cuckoo_filter_spark.operators.sharded import build_sharded_cuckoo_filter
 
         build = build_sharded_cuckoo_filter(
-            pages, "url", capacity=n_rows, bits_per_item=16, num_shards=32
+            pages, "url", capacity=n_rows, bits_per_item=16, num_shards=32,
+            output_path=f"{PAGES_CACHE}/shards_out_{n_rows}.parquet",
         )
         wall = time.perf_counter() - t0
         stored = sum(m["stored"] for m in build.metrics)
         load = max(m["load_factor"] for m in build.metrics)
+        build.load_blobs(spark)
         contain = build.contain
     else:
         from cuckoo_filter_spark.operators.build import build_cuckoo_filter

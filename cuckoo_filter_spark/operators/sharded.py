@@ -62,6 +62,12 @@ class ShardedCuckooBuild:
     num_shards: int
     blobs: dict[int, bytes]  # shard → filter blob (driver-collected)
     metrics: list[dict] = field(default_factory=list)
+    path: str | None = None  # parquet dir of shard blob rows, if persisted
+
+    def load_blobs(self, spark) -> dict[int, bytes]:
+        if not self.blobs and self.path:
+            self.blobs = load_sharded_blobs(spark, self.path)
+        return self.blobs
 
     def kernels(self) -> dict[int, CuckooKernel]:
         return {s: CuckooKernel.from_bytes(b) for s, b in self.blobs.items()}
@@ -202,11 +208,15 @@ def build_sharded_cuckoo_filter(
     table_type: int = TABLE_SINGLE,
     mode: str = "unique_local",
     headroom: float = DEFAULT_HEADROOM,
-    collect: bool = True,
-    shards_df_out: list | None = None,
+    output_path: str | None = None,
 ) -> ShardedCuckooBuild:
     """Fully-distributed sharded build. One shuffle (pair blobs by
-    shard); the kick-loop combine runs per shard on executors."""
+    shard); the kick-loop combine runs per shard on executors.
+
+    output_path: if set, shard blob rows are written to parquet by the
+    executors (the 10^12 workflow — blobs never pass through the
+    driver); only the small metrics columns are collected. Otherwise
+    blobs are collected into the returned object (test/interactive)."""
     if num_shards & (num_shards - 1) or num_shards <= 0:
         raise ValueError("num_shards must be a power of two")
     sel = df.select(key_col)
@@ -220,16 +230,28 @@ def build_sharded_cuckoo_filter(
     unique = mode != "multiset"
     pairs = sel.mapInPandas(_pair_emitter(params, key_col, num_shards, unique), PAIRS_SCHEMA)
     shards = pairs.groupBy("shard").applyInPandas(_shard_combiner(params, unique), SHARD_SCHEMA)
-    rows = shards.collect()
+
+    if output_path is not None:
+        shards.write.mode("overwrite").parquet(output_path)
+        mrows = df.sparkSession.read.parquet(output_path).drop("blob").collect()
+        blobs = {}
+    else:
+        mrows = shards.collect()
+        blobs = {int(r["shard"]): bytes(r["blob"]) for r in mrows}
     metrics = [
         {k: r[k] for k in ("shard", "rows", "stored", "kicks", "victim_used",
                            "load_factor", "wall_ms")}
-        for r in rows
+        for r in mrows
     ]
-    blobs = {int(r["shard"]): bytes(r["blob"]) for r in rows}
     return ShardedCuckooBuild(
-        params=params, num_shards=num_shards, blobs=blobs, metrics=metrics
+        params=params, num_shards=num_shards, blobs=blobs, metrics=metrics,
+        path=output_path,
     )
+
+
+def load_sharded_blobs(spark, path: str) -> dict[int, bytes]:
+    rows = spark.read.parquet(path).select("shard", "blob").collect()
+    return {int(r["shard"]): bytes(r["blob"]) for r in rows}
 
 
 def sharded_might_contain_udf(spark, build: ShardedCuckooBuild):
