@@ -59,7 +59,8 @@ def ensure_pages(spark, n_rows: int, urls_only: bool = False) -> str:
     return path
 
 
-def run_build_bench(spark, n_rows: int, sharded: bool = False) -> dict:
+def run_build_bench(spark, n_rows: int, sharded: bool = False,
+                    hash_fn: str = "metro64") -> dict:
     """url-insert throughput: build a (b=4, f=16) membership filter over
     the pages url column; report inserts/sec, load, FP rate.
 
@@ -72,35 +73,46 @@ def run_build_bench(spark, n_rows: int, sharded: bool = False) -> dict:
 
     t0 = time.perf_counter()
     if sharded:
-        from cuckoo_filter_spark.operators.sharded import build_sharded_cuckoo_filter
+        from cuckoo_filter_spark.operators.sharded import (
+            build_sharded_cuckoo_filter,
+            sharded_might_contain_udf,
+        )
 
         build = build_sharded_cuckoo_filter(
             pages, "url", capacity=n_rows, bits_per_item=16, num_shards=32,
-            output_path=f"{PAGES_CACHE}/shards_out_{n_rows}.parquet",
+            output_path=f"{PAGES_CACHE}/shards_out_{n_rows}_{hash_fn}.parquet",
+            hash_fn=hash_fn,
         )
         wall = time.perf_counter() - t0
         stored = sum(m["stored"] for m in build.metrics)
         load = max(m["load_factor"] for m in build.metrics)
-        build.load_blobs(spark)
-        contain = build.contain
+        mc = sharded_might_contain_udf(spark, build)
     else:
         from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+        from cuckoo_filter_spark.operators.query import might_contain_udf
 
         build = build_cuckoo_filter(
-            pages, "url", capacity=n_rows, bits_per_item=16, mode="unique_local"
+            pages, "url", capacity=n_rows, bits_per_item=16, mode="unique_local",
+            hash_fn=hash_fn,
         )
         wall = time.perf_counter() - t0
         kern = build.kernel()
         stored = kern.size()
         load = kern.load_factor()
-        contain = kern.contain
+        mc = might_contain_udf(spark, build)
 
     # FP probe: urls guaranteed absent (host namespace disjoint)
-    probes = [f"https://absent{i}.example.test/q/{i}" for i in range(100_000)]
-    fp = float(contain(probes).mean())
+    from pyspark.sql import functions as F
+
+    probes = spark.range(100_000).select(
+        F.concat(F.lit("https://absent"), F.col("id"), F.lit(".example.test/q/"),
+                 F.col("id")).alias("url")
+    )
+    fp = probes.where(mc(F.col("url"))).count() / 100_000
     return {
         "rows": n_rows,
         "sharded": sharded,
+        "hash_fn": hash_fn,
         "build_sec": round(wall, 3),
         "inserts_per_sec": round(n_rows / wall, 1),
         "stored": int(stored),
@@ -122,10 +134,10 @@ def run_queries(spark, sf_dir: str) -> dict:
     return out
 
 
-def scaling_child(cpus: int, n_rows: int) -> None:
+def scaling_child(cpus: int, n_rows: int, hash_fn: str = "metro64") -> None:
     spark = make_spark(cpus)
-    run_build_bench(spark, min(n_rows, 500_000), sharded=True)  # warm up JVM/numpy
-    res = run_build_bench(spark, n_rows, sharded=True)
+    run_build_bench(spark, min(n_rows, 500_000), sharded=True, hash_fn=hash_fn)
+    res = run_build_bench(spark, n_rows, sharded=True, hash_fn=hash_fn)
     print("SCALING_RESULT " + json.dumps(res))
     spark.stop()
 
@@ -142,25 +154,32 @@ def run_scaling(n_rows: int) -> dict:
     job's scalability; 2→8 cores isolates the job. Override with
     SPARK_GRAFT_SCALING_N=8 for the 8→32 variant."""
     out = {}
-    for cpus in (SCALING_N, 4 * SCALING_N):
-        env = dict(os.environ)
-        proc = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus), str(n_rows)],
-            capture_output=True, text=True, env=env, cwd=REPO,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
-        if not line:
-            raise RuntimeError(f"scaling child failed:\n{proc.stdout}\n{proc.stderr[-3000:]}")
-        out[f"local[{cpus}]"] = json.loads(line[-1].removeprefix("SCALING_RESULT "))
-    tn = out[f"local[{SCALING_N}]"]["inserts_per_sec"]
-    t4n = out[f"local[{4 * SCALING_N}]"]["inserts_per_sec"]
-    out["scaling_efficiency"] = round((t4n / tn) / 4.0, 3)
+    for hash_fn in ("metro64", "xxhash64"):
+        res = {}
+        for cpus in (SCALING_N, 4 * SCALING_N):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cpus),
+                 str(n_rows), hash_fn],
+                capture_output=True, text=True, env=dict(os.environ), cwd=REPO,
+            )
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("SCALING_RESULT ")]
+            if not line:
+                raise RuntimeError(
+                    f"scaling child failed:\n{proc.stdout}\n{proc.stderr[-3000:]}")
+            res[f"local[{cpus}]"] = json.loads(
+                line[-1].removeprefix("SCALING_RESULT "))
+        tn = res[f"local[{SCALING_N}]"]["inserts_per_sec"]
+        t4n = res[f"local[{4 * SCALING_N}]"]["inserts_per_sec"]
+        res["scaling_efficiency"] = round((t4n / tn) / 4.0, 3)
+        out[hash_fn] = res
     return out
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
-        scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+        scaling_child(int(sys.argv[2]), int(sys.argv[3]),
+                      sys.argv[4] if len(sys.argv) > 4 else "metro64")
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -418,6 +418,29 @@ class CuckooKernel:
         out.victim_used = used == 1
         return out
 
+    def false_positive_rate(self, rounds: int = 100_000) -> float:
+        """Destructive FP self-test mirroring the reference
+        (cuckoofilter.go:226-244): reset, fill to SizeInTags() with
+        big-endian u32 keys 0..n−1, probe n+1..n+rounds, reset."""
+        self.reset()
+        n = self.params.size_in_tags
+        members = np.arange(n, dtype=">u4").view(np.uint8).reshape(-1, 4)
+        lens = np.full(n, 4, dtype=np.int64)
+        from cuckoo_filter_spark.hashing import metro64_flat
+
+        h = metro64_flat(members.reshape(-1), lens)
+        idx, tag = split_hash(h, self.params.num_buckets, self.params.bits_per_item)
+        try:
+            self.add_hashed(idx, tag)
+        except FilterFullError:
+            pass
+        probes = (np.arange(rounds, dtype=np.int64) + n + 1).astype(">u4")
+        hp = metro64_flat(probes.view(np.uint8), np.full(rounds, 4, dtype=np.int64))
+        pi, pt = split_hash(hp, self.params.num_buckets, self.params.bits_per_item)
+        fp = float(self.contain_hashed(pi, pt).mean())
+        self.reset()
+        return fp
+
     def reset(self) -> None:
         self.slots[:] = 0
         self.num_items = 0

@@ -80,6 +80,7 @@ class CuckooBuild:
     params: CuckooParams
     blob: bytes
     metrics: list[dict] = field(default_factory=list)
+    hash_fn: str = "metro64"
 
     def kernel(self) -> CuckooKernel:
         return CuckooKernel.from_bytes(self.blob)
@@ -99,7 +100,18 @@ class CuckooBuild:
         )
 
 
-def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool):
+def hashes_of(pdf_col, hash_fn: str) -> np.ndarray:
+    """Column batch → uint64 hashes. 'metro64' hashes key bytes in numpy
+    (reference parity); '__prehashed__' means the column already holds
+    a JVM-computed 64-bit hash (e.g. F.xxhash64 — whole-stage codegen,
+    no Python hashing cost)."""
+    if hash_fn == "__prehashed__":
+        return pdf_col.to_numpy(dtype="int64").view(np.uint64)
+    return metro64_batch(pdf_col)
+
+
+def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
+                            hash_fn: str = "metro64"):
     """mapInPandas: fingerprint + locally dedupe; emit (bucket, tag) pairs."""
 
     nb, f = params.num_buckets, params.bits_per_item
@@ -117,7 +129,7 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool):
             if len(keys) == 0:
                 continue
             rows += len(keys)
-            idx, tag = split_hash(metro64_batch(keys), nb, f)
+            idx, tag = split_hash(hashes_of(keys, hash_fn), nb, f)
             bis.append(idx)
             tgs.append(tag)
         bi = np.concatenate(bis) if bis else np.zeros(0, dtype=np.int64)
@@ -192,6 +204,7 @@ def build_cuckoo_filter(
     num_partitions: int | None = None,
     headroom: float = DEFAULT_HEADROOM,
     params: CuckooParams | None = None,
+    hash_fn: str = "metro64",
 ) -> CuckooBuild:
     """Build one global cuckoo filter over ``df[key_col]``.
 
@@ -209,11 +222,27 @@ def build_cuckoo_filter(
       global distinct count (one shuffle).
     * ``multiset`` — reference Add semantics (one copy per row); needed
       when delete must track per-row copies.
+
+    hash_fn: ``metro64`` (default — reference-parity fingerprints, blobs
+    cross-decodable with the Go layout) or ``xxhash64`` — Spark computes
+    the 64-bit hash JVM-side in whole-stage codegen and Python only
+    splits/inserts; fastest path when reference hash parity isn't needed.
+    Probes must use the same hash_fn (might_contain_udf handles this).
     """
     if mode not in ("unique_local", "unique_global", "multiset"):
         raise ValueError(f"unknown mode {mode!r}")
     if partial_format not in ("sparse", "table"):
         raise ValueError(f"unknown partial_format {partial_format!r}")
+    if hash_fn not in ("metro64", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    inner_hash = hash_fn
+    if hash_fn == "xxhash64":
+        from pyspark.sql import functions as F
+
+        if partial_format != "sparse":
+            raise ValueError("hash_fn='xxhash64' requires partial_format='sparse'")
+        df = df.select(F.xxhash64(key_col).alias(key_col))
+        inner_hash = "__prehashed__"
     sel = df.select(key_col)
     if params is None:
         if capacity is None:
@@ -232,7 +261,7 @@ def build_cuckoo_filter(
 
     unique = mode != "multiset"
     builder = (
-        _sparse_partial_builder(params, key_col, unique)
+        _sparse_partial_builder(params, key_col, unique, inner_hash)
         if partial_format == "sparse"
         else _table_partial_builder(params, key_col, unique)
     )
@@ -258,4 +287,5 @@ def build_cuckoo_filter(
             CuckooKernel.from_bytes(bytes(r["blob"])) for r in rows if r["rows"] > 0
         )
         merged = reduce(lambda a, b: a.merge(b, dedupe=unique), kernels, merged)
-    return CuckooBuild(params=params, blob=merged.to_bytes(), metrics=metrics)
+    return CuckooBuild(params=params, blob=merged.to_bytes(), metrics=metrics,
+                       hash_fn=hash_fn)

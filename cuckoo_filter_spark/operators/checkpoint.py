@@ -1,0 +1,121 @@
+"""Checkpoint-resumable distributed build (SURVEY.md §7 M5; north_rule
+"resumable from checkpoint with per-partition lineage + metrics").
+
+The sharded build is a pure function of (input snapshot, params,
+num_shards): pair emission is deterministic per partition and the
+combine order is sorted by source partition, so a shard blob is
+reproducible bit-for-bit. The checkpointed build therefore persists
+one parquet row per shard keyed by (build_id, shard); resume = compute
+only the shards missing from the checkpoint dir, then union.
+
+Layout: <dir>/shards/part-*.parquet rows (shard, rows, stored, kicks,
+victim_used, load_factor, wall_ms, blob) + <dir>/_build_manifest.json
+(params, num_shards, input fingerprint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+import numpy as np
+
+from cuckoo_filter_spark.operators.sharded import (
+    PAIRS_SCHEMA,
+    SHARD_SCHEMA,
+    ShardedCuckooBuild,
+    _pair_emitter,
+    _shard_combiner,
+)
+from cuckoo_filter_spark.params import CuckooParams
+
+
+def _manifest_path(d: str) -> str:
+    return os.path.join(d, "_build_manifest.json")
+
+
+def _shards_dir(d: str) -> str:
+    return os.path.join(d, "shards")
+
+
+def build_checkpointed(
+    df,
+    key_col: str,
+    checkpoint_dir: str,
+    capacity: int | None = None,
+    num_shards: int = 32,
+    tags_per_bucket: int = 4,
+    bits_per_item: int = 16,
+    table_type: int = 0,
+    mode: str = "unique_local",
+    headroom: float = 1.15,
+) -> ShardedCuckooBuild:
+    """Build with shard-level checkpointing: already-completed shards are
+    skipped; only missing shards are recomputed. Kill-and-rerun yields a
+    bit-identical final filter (deterministic pair emission + sorted
+    combine order + seeded eviction)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    sel = df.select(key_col)
+    if capacity is None:
+        capacity = sel.count()
+    per_shard_cap = max(int(capacity * headroom / num_shards), 64)
+    params = CuckooParams.for_capacity(
+        per_shard_cap, tags_per_bucket, bits_per_item, table_type
+    )
+    manifest = {
+        "params": asdict(params),
+        "num_shards": num_shards,
+        "mode": mode,
+        "capacity": int(capacity),
+        "key_col": key_col,
+    }
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    mp = _manifest_path(checkpoint_dir)
+    if os.path.exists(mp):
+        existing = json.loads(open(mp).read())
+        if existing != manifest:
+            raise ValueError(
+                f"checkpoint dir {checkpoint_dir} holds a different build: "
+                f"{existing} vs {manifest}"
+            )
+    else:
+        with open(mp, "w") as f:
+            json.dump(manifest, f)
+
+    sdir = _shards_dir(checkpoint_dir)
+    done: set[int] = set()
+    if os.path.exists(sdir):
+        try:
+            done = {
+                int(r["shard"])
+                for r in spark.read.parquet(sdir).select("shard").collect()
+            }
+        except Exception:
+            done = set()
+
+    missing = sorted(set(range(num_shards)) - done)
+    if missing:
+        unique = mode != "multiset"
+        pairs = sel.mapInPandas(
+            _pair_emitter(params, key_col, num_shards, unique), PAIRS_SCHEMA
+        )
+        # partition pruning of finished shards before the shuffle
+        pairs = pairs.where(F.col("shard").isin([int(m) for m in missing]))
+        shards = pairs.groupBy("shard").applyInPandas(
+            _shard_combiner(params, unique), SHARD_SCHEMA
+        )
+        shards.write.mode("append").parquet(sdir)
+
+    rows = spark.read.parquet(sdir).drop("blob").collect()
+    metrics = [
+        {k: r[k] for k in ("shard", "rows", "stored", "kicks", "victim_used",
+                           "load_factor", "wall_ms")}
+        for r in rows
+    ]
+    return ShardedCuckooBuild(
+        params=params, num_shards=num_shards, blobs={}, metrics=metrics, path=sdir
+    )

@@ -41,10 +41,31 @@ def _cached_kernel(key: int, bcast) -> CuckooKernel:
 
 
 def might_contain_udf(spark, build: CuckooBuild | bytes):
-    """Returns a pandas UDF ``f(col) -> boolean`` probing the filter."""
+    """Returns ``f(col) -> boolean Column`` probing the filter with the
+    same hash_fn the build used. For xxhash64 builds the hash runs
+    JVM-side (whole-stage codegen) and the UDF only splits/probes."""
     blob = build.blob if isinstance(build, CuckooBuild) else build
+    hash_fn = build.hash_fn if isinstance(build, CuckooBuild) else "metro64"
     bcast = spark.sparkContext.broadcast(blob)
     bid = bcast._jbroadcast.id()  # capture on driver; keys the executor cache
+
+    if hash_fn == "xxhash64":
+        from cuckoo_filter_spark.kernel.filter import split_hash
+        import numpy as np
+
+        @pandas_udf("boolean")
+        def probe_hashed(h: pd.Series) -> pd.Series:
+            kern = _cached_kernel(bid, bcast)
+            hv = h.to_numpy(dtype="int64").view(np.uint64)
+            idx, tag = split_hash(hv, kern.params.num_buckets,
+                                  kern.params.bits_per_item)
+            return pd.Series(kern.contain_hashed(idx, tag))
+
+        def might_contain(col):
+            c = F.col(col) if isinstance(col, str) else col
+            return probe_hashed(F.xxhash64(c))
+
+        return might_contain
 
     @pandas_udf("boolean")
     def might_contain(keys: pd.Series) -> pd.Series:

@@ -63,6 +63,7 @@ class ShardedCuckooBuild:
     blobs: dict[int, bytes]  # shard → filter blob (driver-collected)
     metrics: list[dict] = field(default_factory=list)
     path: str | None = None  # parquet dir of shard blob rows, if persisted
+    hash_fn: str = "metro64"
 
     def load_blobs(self, spark) -> dict[int, bytes]:
         if not self.blobs and self.path:
@@ -77,9 +78,17 @@ class ShardedCuckooBuild:
         return sum(k.size() for k in self.kernels().values())
 
     def contain(self, items) -> np.ndarray:
-        """Driver-side probe (tests / small batches)."""
+        """Driver-side probe (tests / small batches). For xxhash64
+        builds, pass precomputed int64 hashes via contain_hashed64."""
+        if self.hash_fn == "xxhash64":
+            raise ValueError("xxhash64 build: probe via sharded_might_contain_udf "
+                             "or contain_hashed64")
         h = metro64_batch(items)
         return _probe_sharded(h, self.blobs, self.params, self.num_shards)
+
+    def contain_hashed64(self, h: np.ndarray) -> np.ndarray:
+        return _probe_sharded(h.astype(np.uint64), self.blobs, self.params,
+                              self.num_shards)
 
 
 _SHARD_KERNEL_CACHE: dict[tuple, CuckooKernel] = {}
@@ -117,11 +126,14 @@ def _probe_sharded(
     return out
 
 
-def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: bool):
+def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: bool,
+                  hash_fn: str = "metro64"):
     nb, f = params.num_buckets, params.bits_per_item
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
+
+        from cuckoo_filter_spark.operators.build import hashes_of
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         per_shard_bi: dict[int, list] = {}
@@ -132,7 +144,7 @@ def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: b
             if len(keys) == 0:
                 continue
             rows += len(keys)
-            h = metro64_batch(keys)
+            h = hashes_of(keys, hash_fn)
             shards = shard_of(h, num_shards)
             idx, tag = split_hash(h, nb, f)
             order = np.argsort(shards, kind="stable")
@@ -209,6 +221,7 @@ def build_sharded_cuckoo_filter(
     mode: str = "unique_local",
     headroom: float = DEFAULT_HEADROOM,
     output_path: str | None = None,
+    hash_fn: str = "metro64",
 ) -> ShardedCuckooBuild:
     """Fully-distributed sharded build. One shuffle (pair blobs by
     shard); the kick-loop combine runs per shard on executors.
@@ -219,6 +232,14 @@ def build_sharded_cuckoo_filter(
     blobs are collected into the returned object (test/interactive)."""
     if num_shards & (num_shards - 1) or num_shards <= 0:
         raise ValueError("num_shards must be a power of two")
+    inner_hash = hash_fn
+    if hash_fn == "xxhash64":
+        # JVM-side hashing (whole-stage codegen): only 8-byte hashes cross
+        # the Arrow bridge instead of the key bytes
+        df = df.select(F.xxhash64(key_col).alias(key_col))
+        inner_hash = "__prehashed__"
+    elif hash_fn != "metro64":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sel = df.select(key_col)
     if capacity is None:
         capacity = sel.count()
@@ -228,7 +249,9 @@ def build_sharded_cuckoo_filter(
     )
 
     unique = mode != "multiset"
-    pairs = sel.mapInPandas(_pair_emitter(params, key_col, num_shards, unique), PAIRS_SCHEMA)
+    pairs = sel.mapInPandas(
+        _pair_emitter(params, key_col, num_shards, unique, inner_hash), PAIRS_SCHEMA
+    )
     shards = pairs.groupBy("shard").applyInPandas(_shard_combiner(params, unique), SHARD_SCHEMA)
 
     if output_path is not None:
@@ -245,7 +268,7 @@ def build_sharded_cuckoo_filter(
     ]
     return ShardedCuckooBuild(
         params=params, num_shards=num_shards, blobs=blobs, metrics=metrics,
-        path=output_path,
+        path=output_path, hash_fn=hash_fn,
     )
 
 
@@ -255,12 +278,29 @@ def load_sharded_blobs(spark, path: str) -> dict[int, bytes]:
 
 
 def sharded_might_contain_udf(spark, build: ShardedCuckooBuild):
-    """Broadcast probe UDF: hash once, route by shard, probe per shard."""
-    bcast = spark.sparkContext.broadcast(build.blobs)
+    """Broadcast probe: hash once, route by shard, probe per shard.
+    Uses the build's hash_fn (xxhash64 hashes JVM-side)."""
+    blobs = build.load_blobs(spark) if build.path else build.blobs
+    bcast = spark.sparkContext.broadcast(blobs)
     bid = bcast._jbroadcast.id()
     params = build.params
     num_shards = build.num_shards
     from pyspark.sql.functions import pandas_udf
+
+    if build.hash_fn == "xxhash64":
+
+        @pandas_udf("boolean")
+        def probe_hashed(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype="int64").view(np.uint64)
+            return pd.Series(
+                _probe_sharded(hv, bcast.value, params, num_shards, cache_key=bid)
+            )
+
+        def might_contain(col):
+            c = F.col(col) if isinstance(col, str) else col
+            return probe_hashed(F.xxhash64(c))
+
+        return might_contain
 
     @pandas_udf("boolean")
     def might_contain(keys: pd.Series) -> pd.Series:

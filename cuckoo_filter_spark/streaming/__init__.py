@@ -1,0 +1,7 @@
+"""Structured Streaming surface: stateful streaming dedup and
+incremental filter builds (mergeable blobs make both natural)."""
+
+from cuckoo_filter_spark.streaming.dedup import streaming_dedup
+from cuckoo_filter_spark.streaming.incremental import incremental_filter_build
+
+__all__ = ["streaming_dedup", "incremental_filter_build"]

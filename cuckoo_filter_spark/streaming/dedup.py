@@ -1,0 +1,74 @@
+"""Streaming approximate dedup — applyInPandasWithState with a cuckoo
+filter blob as the group state (SURVEY.md §2.2 streaming row).
+
+Rows are grouped by a stable hash-shard of the key; each shard's state
+is a serialized cuckoo filter. A micro-batch probes + AddUniques its
+keys against the shard filter and emits only first-seen rows. False
+positives (≈ 2b/2^f) drop at most that fraction of genuinely-new rows
+— the classic sketch-dedup trade documented in the reference's
+AddUnique (cuckoofilter.go:144-149).
+
+State is the reference §1.5 blob, so a batch job can decode, merge, or
+inspect the accumulated streaming state with the same kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cuckoo_filter_spark.kernel.filter import CuckooKernel
+from cuckoo_filter_spark.params import CuckooParams
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_col: str,
+    num_shards: int = 16,
+    shard_capacity: int = 1 << 20,
+    bits_per_item: int = 16,
+    output_mode: str = "append",
+) -> DataFrame:
+    """stream → stream of first-seen rows (approximate distinct).
+
+    Adds a __shard column (JVM hash, stable across restarts), groups by
+    it, and keeps one cuckoo-filter blob per shard in GroupState."""
+    params = CuckooParams.for_capacity(shard_capacity, 4, bits_per_item, 0)
+    in_schema = stream_df.schema
+    out_schema = stream_df.schema
+    state_schema = "blob binary"
+
+    cols = [f.name for f in in_schema.fields]
+
+    def dedup_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (blob,) = state.get
+            kern = CuckooKernel.from_bytes(bytes(blob))
+        else:
+            kern = CuckooKernel(params)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            fresh = kern.add_unique(pdf[key_col])
+            out = pdf.loc[fresh, cols]
+            if len(out):
+                yield out
+        state.update((bytearray(kern.to_bytes()),))
+
+    shards = stream_df.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards))
+    )
+    return (
+        shards.groupBy("__shard")
+        .applyInPandasWithState(
+            dedup_fn, out_schema, state_schema, output_mode,
+            GroupStateTimeout.NoTimeout,
+        )
+    )

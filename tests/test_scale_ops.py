@@ -1,0 +1,146 @@
+"""M5 scale ops: checkpoint-resumable build, skew salting, streaming
+dedup, incremental build, multimodal plumbing."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- checkpoint
+def test_checkpoint_resume_bit_identical(spark, tmp_path):
+    from cuckoo_filter_spark.operators.checkpoint import build_checkpointed
+    from cuckoo_filter_spark.operators.sharded import load_sharded_blobs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keys = docs.select(F.concat_ws("/", "source", "doc_id").alias("key"))
+    n = keys.count()
+
+    full_dir = str(tmp_path / "full")
+    b1 = build_checkpointed(keys, "key", full_dir, capacity=n, num_shards=8)
+    blobs1 = load_sharded_blobs(spark, b1.path)
+    assert len(blobs1) == 8
+
+    # simulate a crash after 3 shards: keep only shards 0-2, resume
+    partial_dir = str(tmp_path / "partial")
+    shutil.copytree(full_dir, partial_dir)
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    sdir = os.path.join(partial_dir, "shards")
+    tbl = pq.read_table(sdir)
+    kept = tbl.filter(pa.compute.less(tbl["shard"], 3))
+    shutil.rmtree(sdir)
+    os.makedirs(sdir)
+    pq.write_table(kept, os.path.join(sdir, "part-0.parquet"))
+
+    b2 = build_checkpointed(keys, "key", partial_dir, capacity=n, num_shards=8)
+    blobs2 = load_sharded_blobs(spark, b2.path)
+    assert blobs1.keys() == blobs2.keys()
+    for s in blobs1:
+        assert blobs1[s] == blobs2[s], f"shard {s} not bit-identical after resume"
+
+
+def test_checkpoint_rejects_mismatched_params(spark, tmp_path):
+    from cuckoo_filter_spark.operators.checkpoint import build_checkpointed
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(100)], "key string")
+    d = str(tmp_path / "ck")
+    build_checkpointed(keys, "key", d, capacity=100, num_shards=4)
+    with pytest.raises(ValueError, match="different build"):
+        build_checkpointed(keys, "key", d, capacity=100, num_shards=8)
+
+
+# ---------------------------------------------------------------- salting
+def test_hot_key_detection_and_salted_count(spark):
+    from cuckoo_filter_spark.operators.salting import (
+        detect_hot_keys,
+        salted_group_count,
+        salted_repartition,
+    )
+
+    rows = [("hot",)] * 5000 + [(f"cold{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "host string").repartition(8)
+    hot = detect_hot_keys(df, "host", threshold_frac=0.05)
+    assert "hot" in hot
+    assert len(hot) < 10
+
+    counts = {r["host"]: r["n"] for r in salted_group_count(df, "host", hot).collect()}
+    assert counts["hot"] == 5000
+    assert counts["cold0"] == 1
+
+    rep = salted_repartition(df, "host", hot, num_salts=8, num_partitions=8)
+    sizes = [r["c"] for r in rep.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert max(sizes) < 5000, f"hot key not spread: {sizes}"
+
+
+# ---------------------------------------------------------------- streaming
+def test_streaming_dedup(spark, tmp_path):
+    from cuckoo_filter_spark.streaming.dedup import streaming_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(i % 40, f"url{i % 40}") for i in range(200)], "rid long, url string"
+    ).write.parquet(f"{src}/batch0.parquet")
+
+    stream = spark.readStream.schema("rid long, url string").parquet(src + "/*.parquet")
+    deduped = streaming_dedup(stream, "url", num_shards=4, shard_capacity=10000)
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_out").collect()
+    urls = [r["url"] for r in out]
+    assert len(urls) == len(set(urls)) == 40
+
+
+def test_incremental_filter_build(spark, tmp_path):
+    from cuckoo_filter_spark.streaming.incremental import incremental_filter_build
+
+    sink = incremental_filter_build(str(tmp_path / "inc"), "url", capacity=10000)
+    b1 = spark.createDataFrame([(f"a{i}",) for i in range(100)], "url string")
+    b2 = spark.createDataFrame([(f"b{i}",) for i in range(100)], "url string")
+    sink(b1, 0)
+    sink(b2, 1)
+    kern = sink.current()
+    assert kern.size() == 200
+    assert kern.contain([b"a5", b"b99"]).all()
+    assert not kern.contain([b"c1"]).any()
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_pipeline(spark):
+    from cuckoo_filter_spark.functions.multimodal import (
+        frame_sample,
+        image_features,
+        resize_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60)
+    feats = image_features(media, decode_mode="fake").collect()
+    assert len(feats) == 20  # every 3rd row is an image
+    for r in feats:
+        assert 0 <= r["mean_r"] <= 255 and r["luma_std"] >= 0
+    # deterministic across runs
+    feats2 = image_features(media, decode_mode="fake").collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+    plan = resize_plan(media, target=224).collect()
+    for r in plan:
+        assert min(r["out_w"], r["out_h"]) in (224, 223, 225)
+
+    frames = frame_sample(media, every_n=10)
+    got = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 3 for r in got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|decode"):
+        image_features(media, decode_mode="strict").collect()
