@@ -140,7 +140,9 @@ def q_delete_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    build = build_cuckoo_filter(orders, "o_orderkey", bits_per_item=16)
+    # table_type=1: semi-sorted packed table through the full Spark path
+    build = build_cuckoo_filter(orders, "o_orderkey", bits_per_item=16,
+                                table_type=1)
     kern = build.kernel()
     gone = [r["o_orderkey"] for r in orders.where(F.col("o_orderstatus") == "F")
             .select("o_orderkey").collect()]

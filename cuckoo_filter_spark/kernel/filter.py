@@ -337,10 +337,30 @@ class CuckooKernel:
             _, first = np.unique(canon, return_index=True)
             first = np.sort(first)
             bi, tags = bi[first], tags[first]
-            present = self.contain_hashed(bi, tags)
-            bi, tags = bi[~present], tags[~present]
+            if self.num_items or self.victim_used:
+                present = self.contain_hashed(bi, tags)
+                bi, tags = bi[~present], tags[~present]
+        n = len(bi)
+        if n and not self.num_items and not self.victim_used:
+            # empty-table fast path (the shard-combine case): every bucket
+            # has b free slots, so the first b pairs per bucket scatter
+            # directly at their rank; only the overflow joins the kick loop
+            srt = np.argsort(bi, kind="stable")
+            s_b = bi[srt]
+            s_t = tags[srt]
+            newgrp = np.empty(n, dtype=bool)
+            newgrp[0] = True
+            np.not_equal(s_b[1:], s_b[:-1], out=newgrp[1:])
+            start = np.flatnonzero(newgrp)
+            gid = np.cumsum(newgrp) - 1
+            rank = np.arange(n) - start[gid]
+            direct = rank < self.params.tags_per_bucket
+            self.slots[s_b[direct], rank[direct]] = s_t[direct]
+            self.num_items += int(direct.sum())
+            self._insert_frontier(s_b[~direct], s_t[~direct])
+            return n
         self._insert_frontier(bi, tags)
-        return len(bi)
+        return n
 
     def canonical_pair(self, bi: np.ndarray, tags: np.ndarray) -> np.ndarray:
         """Orientation-independent id of (candidate pair, tag)."""

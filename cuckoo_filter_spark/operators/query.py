@@ -35,6 +35,8 @@ _KERNEL_CACHE: dict[int, CuckooKernel] = {}
 def _cached_kernel(key: int, bcast) -> CuckooKernel:
     kern = _KERNEL_CACHE.get(key)
     if kern is None:
+        if len(_KERNEL_CACHE) > 64:  # bound executor memory across builds
+            _KERNEL_CACHE.clear()
         kern = CuckooKernel.from_bytes(bytes(bcast.value))
         _KERNEL_CACHE[key] = kern
     return kern

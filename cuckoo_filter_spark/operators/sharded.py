@@ -116,6 +116,8 @@ def _probe_sharded(
             ck = (cache_key, s)
             kern = _SHARD_KERNEL_CACHE.get(ck)
             if kern is None:
+                if len(_SHARD_KERNEL_CACHE) > 256:  # bound executor memory
+                    _SHARD_KERNEL_CACHE.clear()
                 kern = CuckooKernel.from_bytes(bytes(blob))
                 _SHARD_KERNEL_CACHE[ck] = kern
         else:

@@ -1,0 +1,80 @@
+"""Property-based parity: the vectorized kernel and the scalar oracle
+agree on membership and size under randomized mixed op sequences
+(hypothesis). Placement may differ (round-based vs sequential); the
+membership multiset must not."""
+
+import numpy as np
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+from cuckoo_filter_spark.kernel.filter import CuckooKernel
+from cuckoo_filter_spark.oracle.scalar import ScalarFilter
+from cuckoo_filter_spark.params import TABLE_PACKED, TABLE_SINGLE, CuckooParams
+
+pytestmark = pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+
+
+@st.composite
+def op_sequences(draw):
+    n_keys = draw(st.integers(20, 120))
+    keys = [f"key{i}".encode() for i in range(n_keys)]
+    ops = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["add_unique", "delete", "contain"]),
+                st.integers(0, n_keys - 1),
+            ),
+            min_size=5,
+            max_size=80,
+        )
+    )
+    table_type = draw(st.sampled_from([TABLE_SINGLE, TABLE_PACKED]))
+    b = 4 if table_type == TABLE_PACKED else draw(st.sampled_from([2, 4, 8]))
+    f = draw(st.sampled_from([8, 12, 16]))
+    return keys, ops, b, f, table_type
+
+
+@settings(max_examples=40, deadline=None)
+@given(op_sequences())
+def test_kernel_matches_oracle_under_random_ops(seq):
+    keys, ops, b, f, tt = seq
+    params = CuckooParams.for_capacity(4 * len(keys), b, f, tt)
+    kern = CuckooKernel(params)
+    orc = ScalarFilter(params)
+    for op, ki in ops:
+        k = keys[ki]
+        if op == "add_unique":
+            kv = bool(kern.add_unique([k])[0])
+            ov = orc.add_unique(k)
+            assert kv == ov, (op, k)
+        elif op == "delete":
+            kv = bool(kern.delete([k])[0])
+            ov = orc.delete(k)
+            assert kv == ov, (op, k)
+        else:
+            kv = bool(kern.contain([k])[0])
+            ov = orc.contain(k)
+            assert kv == ov, (op, k)
+        assert kern.size() == orc.size()
+    # final: all keys agree
+    kv = kern.contain(keys)
+    ov = np.array([orc.contain(k) for k in keys])
+    assert np.array_equal(kv, ov)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.sampled_from([8, 16, 32]))
+def test_serialization_roundtrip_random(seed, f):
+    rng = np.random.default_rng(seed)
+    kern = CuckooKernel.for_capacity(200, 4, f)
+    kern.add([rng.bytes(16) for _ in range(150)])
+    blob = kern.to_bytes()
+    assert CuckooKernel.from_bytes(blob).to_bytes() == blob
+    orc = ScalarFilter.decode(blob)
+    assert orc.encode() == blob
