@@ -140,9 +140,12 @@ def q_delete_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    # table_type=1: semi-sorted packed table through the full Spark path
+    # table_type=1: semi-sorted packed table through the full Spark path.
+    # mode='multiset': delete workloads must keep one stored copy per
+    # inserted row — distinct keys can collide on (pair, tag), and the
+    # deduped membership build would make the second delete fail.
     build = build_cuckoo_filter(orders, "o_orderkey", bits_per_item=16,
-                                table_type=1)
+                                table_type=1, mode="multiset")
     kern = build.kernel()
     gone = [r["o_orderkey"] for r in orders.where(F.col("o_orderstatus") == "F")
             .select("o_orderkey").collect()]
@@ -285,6 +288,21 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (built-in coverage): rich customers ∩/∖ building
+    segment, as tagged counts."""
+    cust = _t(spark, sf_dir, "customer")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    inter = rich.intersect(building).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    exc = rich.exceptAll(building).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return inter.unionByName(exc).orderBy("op")
+
+
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-user estimate (approximate — rows-only check; the
     pytest suite pins the 4σ error bound vs exact)."""
@@ -357,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "rollup_orders": q_rollup_orders,
         "window_topn": q_window_topn,
+        "set_ops": q_set_ops,
         # approximate sketches — no SQL oracle (rows-only check);
         # pytest pins the published error bounds instead
         "hll_distinct_estimate": q_hll_distinct_estimate,
@@ -463,6 +482,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "set_ops": """
+            WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+                 building AS (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+            SELECT 'except' AS op,
+                   (SELECT COUNT(*) FROM (SELECT * FROM rich EXCEPT ALL
+                                          SELECT * FROM building)) AS n
+            UNION ALL
+            SELECT 'intersect' AS op,
+                   (SELECT COUNT(*) FROM (SELECT * FROM rich INTERSECT
+                                          SELECT * FROM building)) AS n
+            ORDER BY op
         """,
         "window_topn": """
             WITH ranked AS (

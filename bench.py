@@ -25,7 +25,10 @@ sys.path.insert(0, REPO)
 
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "64000000"))
-PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/spark_graft_bench")
+# default caches and shuffle dirs to tmpfs: the VM's ext4 root disk shows
+# multi-10s writeback stalls that add 2x run-to-run noise to benchmarks
+_DEF_CACHE = "/dev/shm/spark_graft_bench" if os.path.isdir("/dev/shm") else "/tmp/spark_graft_bench"
+PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_CACHE", _DEF_CACHE)
 
 
 def make_spark(cpus: int):
@@ -40,6 +43,8 @@ def make_spark(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.local.dir",
+                "/dev/shm/spark_local" if os.path.isdir("/dev/shm") else "/tmp/spark_local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -55,7 +60,11 @@ def ensure_pages(spark, n_rows: int, urls_only: bool = False) -> str:
         from cuckoo_filter_spark.sources.pages import synth_pages, synth_urls
 
         gen = synth_urls if urls_only else synth_pages
-        gen(spark, n_rows, n_hosts=10000, seed=42).write.mode("overwrite").parquet(path)
+        # fixed partition count: scan parallelism must not depend on which
+        # parallelism level happened to generate the cache
+        gen(spark, n_rows, n_hosts=10000, seed=42, num_partitions=32).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 

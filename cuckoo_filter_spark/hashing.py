@@ -195,6 +195,14 @@ def metro64_batch(items, seed: int = DEFAULT_SEED) -> np.ndarray:
 
 
 def metro64_flat(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Masked variable-length kernel. (A length-grouped variant with
+    per-group fixed-length slicing was benchmarked and lost: the per-
+    group row gather costs more than the masked tail phases when length
+    classes are few, which is the url-workload case.)"""
+    return _metro64_flat_masked(flat, lens, seed)
+
+
+def _metro64_flat_masked(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
     n = len(lens)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)

@@ -92,42 +92,67 @@ def minhash_signatures(texts, n_perms: int = 64, k: int = 5) -> np.ndarray:
     return sig
 
 
-def _band_hash(sig_block: np.ndarray, band: int) -> np.ndarray:
-    h = np.full(sig_block.shape[0], 0x9E3779B97F4A7C15, dtype=np.uint64)
-    for c in range(sig_block.shape[1]):
-        h = _mix(h ^ sig_block[:, c].astype(np.uint64), band * 0xABCDEF + c + 1)
-    return h.astype(np.int64)
+def choose_bands(n_perms: int, threshold: float) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) with bands·rows = n_perms whose LSH
+    S-curve threshold (1/b)^(1/r) sits closest below the requested
+    similarity threshold — avoids candidate explosion on corpora whose
+    background similarity is non-trivial."""
+    best = None
+    for r in range(1, n_perms + 1):
+        if n_perms % r:
+            continue
+        b = n_perms // r
+        if b < 1:
+            continue
+        t = (1.0 / b) ** (1.0 / r)
+        # prefer t <= threshold (recall-safe), maximize t; fall back to min t
+        key = (t <= threshold, t if t <= threshold else -t)
+        if best is None or key > best[0]:
+            best = (key, b, r)
+    return best[1], best[2]
 
 
-def add_minhash_bands(
-    df: DataFrame, text_col: str, id_col: str,
-    n_perms: int = 64, bands: int = 16, k: int = 5,
+def add_minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_perms: int = 64, k: int = 5
 ) -> DataFrame:
-    """→ (id, band, band_hash): one row per (doc, band) for LSH joining."""
-    rows_per_band = n_perms // bands
-    schema = f"{id_col} long, band int, band_hash long"
+    """→ (id, sig array<long>): one vectorized signature pass."""
+    schema = f"{id_col} long, sig array<long>"
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             sig = minhash_signatures(pdf[text_col], n_perms, k)
-            ids = pdf[id_col].to_numpy()
-            out_ids, out_band, out_hash = [], [], []
-            for b in range(bands):
-                block = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-                out_ids.append(ids)
-                out_band.append(np.full(len(ids), b, dtype=np.int32))
-                out_hash.append(_band_hash(block, b))
             yield pd.DataFrame(
-                {
-                    id_col: np.concatenate(out_ids),
-                    "band": np.concatenate(out_band),
-                    "band_hash": np.concatenate(out_hash),
-                }
+                {id_col: pdf[id_col].to_numpy(), "sig": list(sig)}
             )
 
     return df.select(id_col, text_col).mapInPandas(compute, schema)
+
+
+def add_minhash_bands(
+    df: DataFrame, text_col: str, id_col: str,
+    n_perms: int = 64, bands: int = 16, k: int = 5,
+) -> DataFrame:
+    """→ (id, band, band_hash): one row per (doc, band) for LSH joining.
+    Band hashes are computed JVM-side from the signature column."""
+    sigs = add_minhash_signatures(df, text_col, id_col, n_perms, k)
+    return _bands_from_sigs(sigs, id_col, n_perms, bands)
+
+
+def _bands_from_sigs(sigs: DataFrame, id_col: str, n_perms: int, bands: int) -> DataFrame:
+    rows_per_band = n_perms // bands
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b))
+            .cast("long").alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        id_col, F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.band_hash")
 
 
 def exact_jaccard_udf(k: int = 5):
@@ -154,18 +179,26 @@ def exact_jaccard_udf(k: int = 5):
 
 def minhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str,
-    threshold: float = 0.8, n_perms: int = 64, bands: int = 16, k: int = 5,
+    threshold: float = 0.8, n_perms: int = 64, bands: int | None = None,
+    k: int = 5, sig_margin: float = 0.2,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
-    MinHash banding + exact-Jaccard verification of candidates."""
-    bandsdf = add_minhash_bands(df, text_col, id_col, n_perms, bands, k)
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold):
+    MinHash banding (banding geometry auto-tuned to the threshold) →
+    JVM-side signature-similarity prefilter of candidates (keeps pairs
+    with sig-sim ≥ threshold − sig_margin; a true pair failing that is a
+    ~2^-40 tail event at 64 perms) → exact-Jaccard verification."""
+    if bands is None:
+        bands, _ = choose_bands(n_perms, threshold)
+    sigs = add_minhash_signatures(df, text_col, id_col, n_perms, k)
+    sigs.cache()
+    bandsdf = _bands_from_sigs(sigs, id_col, n_perms, bands)
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
     cands = (
         a.join(
             b,
             on=[
-                F.col(f"a.band") == F.col("b.band"),
+                F.col("a.band") == F.col("b.band"),
                 F.col("a.band_hash") == F.col("b.band_hash"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
@@ -175,10 +208,22 @@ def minhash_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    sig_sim = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(n_perms))
+    prefiltered = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .where(sig_sim >= threshold - sig_margin)
+        .select("id_a", "id_b")
+    )
     texts = df.select(F.col(id_col), F.col(text_col))
-    ta = texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a")
-    tb = texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b")
-    joined = cands.join(ta, "id_a").join(tb, "id_b")
+    ta = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    joined = prefiltered.join(ta, "id_a").join(tb, "id_b")
     jac = exact_jaccard_udf(k)
     return (
         joined.withColumn("jaccard", jac(F.col("text_a"), F.col("text_b")))

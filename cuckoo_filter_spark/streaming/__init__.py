@@ -3,5 +3,6 @@ incremental filter builds (mergeable blobs make both natural)."""
 
 from cuckoo_filter_spark.streaming.dedup import streaming_dedup
 from cuckoo_filter_spark.streaming.incremental import incremental_filter_build
+from cuckoo_filter_spark.streaming.windowed import windowed_distinct_count
 
-__all__ = ["streaming_dedup", "incremental_filter_build"]
+__all__ = ["streaming_dedup", "incremental_filter_build", "windowed_distinct_count"]
