@@ -63,7 +63,7 @@ def q_cuckoo_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -82,7 +82,7 @@ def q_cuckoo_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         no_items.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("sum_totalprice"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
         )
         .orderBy("o_orderstatus")
     )
@@ -288,6 +288,29 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-filter semi join (the 10^12 build path end-to-end):
+    fully-distributed sharded build over part keys, broadcast shard
+    routing probe, exact verification."""
+    from cuckoo_filter_spark.operators.sharded import (
+        build_sharded_cuckoo_filter,
+        sharded_might_contain_udf,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = _t(spark, sf_dir, "part").where(F.col("p_retailprice") > 1500)
+    build = build_sharded_cuckoo_filter(parts, "p_partkey", num_shards=8)
+    mc = sharded_might_contain_udf(spark, build)
+    pruned = li.where(mc(F.col("l_partkey")))
+    rhs = parts.select("p_partkey")
+    exact = pruned.join(rhs, pruned["l_partkey"] == rhs["p_partkey"], "left_semi")
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (built-in coverage): rich customers ∩/∖ building
     segment, as tagged counts."""
@@ -376,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "window_topn": q_window_topn,
         "set_ops": q_set_ops,
+        "sharded_semi_join": q_sharded_semi_join,
         # approximate sketches — no SQL oracle (rows-only check);
         # pytest pins the published error bounds instead
         "hll_distinct_estimate": q_hll_distinct_estimate,
@@ -389,7 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "cuckoo_semi_join": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
-                   SUM(l_extendedprice) AS sum_price,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
                    COUNT(*) AS n_rows
             FROM lineitem
             WHERE l_orderkey IN (
@@ -400,7 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "cuckoo_anti_join": """
             SELECT o_orderstatus,
                    COUNT(*) AS n_orders,
-                   SUM(o_totalprice) AS sum_totalprice
+                   ROUND(SUM(o_totalprice), 2) AS sum_totalprice
             FROM orders
             WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
             GROUP BY o_orderstatus
@@ -482,6 +506,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "sharded_semi_join": """
+            SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_retailprice > 1500)
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "set_ops": """
             WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),

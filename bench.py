@@ -23,7 +23,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000"))
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "64000000"))
 # default caches and shuffle dirs to tmpfs: the VM's ext4 root disk shows
 # multi-10s writeback stalls that add 2x run-to-run noise to benchmarks
@@ -213,7 +213,7 @@ def main() -> None:
     spark = make_spark(cpus)
     t_total0 = time.perf_counter()
     qtimes = run_queries(spark, sf_dir)
-    build = run_build_bench(spark, BENCH_ROWS)
+    build = run_build_bench(spark, BENCH_ROWS, sharded=True)  # 10^12 path
     total = round(time.perf_counter() - t_total0, 3)
 
     print(
