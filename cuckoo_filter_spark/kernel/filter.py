@@ -340,6 +340,25 @@ class CuckooKernel:
             if self.num_items or self.victim_used:
                 present = self.contain_hashed(bi, tags)
                 bi, tags = bi[~present], tags[~present]
+        elif len(bi):
+            # multiset: a (pair, tag) fits at most 2b slots; the reference
+            # stores 2b copies, stashes one victim, then rejects further
+            # Adds. Clip to 2b copies so bulk inserts of heavily
+            # duplicated keys degrade like the reference instead of
+            # exhausting the kick loop (membership identical).
+            cap = 2 * self.params.tags_per_bucket
+            canon = self.canonical_pair(bi, tags)
+            order = np.argsort(canon, kind="stable")
+            sc = canon[order]
+            newgrp = np.empty(len(sc), dtype=bool)
+            newgrp[0] = True
+            np.not_equal(sc[1:], sc[:-1], out=newgrp[1:])
+            start = np.flatnonzero(newgrp)
+            gid = np.cumsum(newgrp) - 1
+            rank = np.arange(len(sc)) - start[gid]
+            keep_sorted = order[rank < cap]
+            keep = np.sort(keep_sorted)
+            bi, tags = bi[keep], tags[keep]
         n = len(bi)
         if n and not self.num_items and not self.victim_used:
             # empty-table fast path (the shard-combine case): every bucket

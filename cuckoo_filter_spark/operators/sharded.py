@@ -279,6 +279,77 @@ def load_sharded_blobs(spark, path: str) -> dict[int, bytes]:
     return {int(r["shard"]): bytes(r["blob"]) for r in rows}
 
 
+def sharded_might_contain_join(
+    probe: DataFrame,
+    key_col: str,
+    build: ShardedCuckooBuild,
+    shards_df: DataFrame | None = None,
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Beyond-broadcast probe: co-partition the probe side with the shard
+    blob rows (cogroup by shard id) so each task loads exactly ONE shard
+    blob — no driver materialization, no broadcast. This is the probe
+    path when total blob volume exceeds broadcast limits (10^11+ keys).
+
+    Returns probe columns + a boolean ``flag_col``. One shuffle of the
+    probe keys; blob rows shuffle once (they are tiny relative to 10^12
+    probe rows)."""
+    spark = probe.sparkSession
+    if shards_df is None:
+        if build.path is None:
+            raise ValueError("need shards_df or a persisted build path")
+        shards_df = spark.read.parquet(build.path).select("shard", "blob")
+    params = build.params
+    num_shards = build.num_shards
+    hash_fn = build.hash_fn
+
+    cols = probe.columns
+    out_schema = probe.schema.add(flag_col, "boolean")
+
+    if hash_fn == "xxhash64":
+        withsh = probe.withColumn("__h", F.xxhash64(F.col(key_col)))
+
+        def shard_expr(df):
+            return (
+                F.shiftrightunsigned(F.col("__h"), 64 - int(np.log2(num_shards)))
+                .cast("int")
+            )
+
+        probe_sh = withsh.withColumn("__shard", shard_expr(withsh))
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def shard_udf(keys: pd.Series) -> pd.Series:
+            return pd.Series(shard_of(metro64_batch(keys), num_shards))
+
+        probe_sh = probe.withColumn("__shard", shard_udf(F.col(key_col)))
+
+    def probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=cols + [flag_col])
+        if len(right) == 0:
+            out = left[cols].copy()
+            out[flag_col] = False
+            return out
+        kern = CuckooKernel.from_bytes(bytes(right["blob"].iloc[0]))
+        if hash_fn == "xxhash64":
+            h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
+        else:
+            h = metro64_batch(left[key_col])
+        idx, tag = split_hash(h, params.num_buckets, params.bits_per_item)
+        out = left[cols].copy()
+        out[flag_col] = kern.contain_hashed(idx, tag)
+        return out
+
+    blobs_sh = shards_df.withColumnRenamed("shard", "__shard")
+    return (
+        probe_sh.groupBy("__shard")
+        .cogroup(blobs_sh.groupBy("__shard"))
+        .applyInPandas(probe_group, out_schema)
+    )
+
+
 def sharded_might_contain_udf(spark, build: ShardedCuckooBuild):
     """Broadcast probe: hash once, route by shard, probe per shard.
     Uses the build's hash_fn (xxhash64 hashes JVM-side)."""

@@ -242,3 +242,22 @@ def test_alt_index_involution():
     i2 = alt_index(idx, tag, kern.params.num_buckets)
     i1 = alt_index(i2, tag, kern.params.num_buckets)
     assert np.array_equal(i1, idx)
+
+
+def test_multiset_insert_pairs_clips_at_2b():
+    """A (pair, tag) fits at most 2b slots; bulk multiset inserts of
+    heavily duplicated keys keep 2b copies (reference-equivalent stored
+    state) instead of exhausting the kick loop."""
+    kern = CuckooKernel.for_capacity(1000, 4, 16)
+    idx, tag = kern.fingerprints([b"dup-key"])
+    bi = np.repeat(idx, 50)
+    tg = np.repeat(tag, 50)
+    n = kern.insert_pairs(bi, tg, dedupe=False)
+    assert n == 8  # 2b copies kept
+    assert kern.size() == 8
+    assert kern.contain([b"dup-key"]).all()
+    # deleting 8 times drains all copies; the 9th fails
+    for i in range(8):
+        assert kern.delete([b"dup-key"]).all(), i
+    assert not kern.delete([b"dup-key"]).any()
+    assert kern.size() == 0

@@ -46,3 +46,38 @@ def test_sharded_metrics_lineage(spark, keys_df):
     assert len(sharded.metrics) <= 8
     assert sum(m["stored"] for m in sharded.metrics) == keys_df.count()
     assert all(m["load_factor"] <= 0.97 for m in sharded.metrics)
+
+
+def test_sharded_join_probe_matches_broadcast(spark, keys_df, tmp_path):
+    from cuckoo_filter_spark.operators.sharded import sharded_might_contain_join
+    from pyspark.sql import functions as F
+
+    build = build_sharded_cuckoo_filter(
+        keys_df, "key", num_shards=8, output_path=str(tmp_path / "shards")
+    )
+    build.load_blobs(spark)
+    # probe = members + definite non-members
+    members = keys_df
+    absent = spark.createDataFrame([(f"nope{i}",) for i in range(2000)], "key string")
+    probe = members.unionByName(absent)
+
+    joined = sharded_might_contain_join(probe, "key", build)
+    got = {r["key"]: r["might_contain"] for r in joined.collect()}
+    mc = sharded_might_contain_udf(spark, build)
+    want = {r["key"]: r["hit"]
+            for r in probe.withColumn("hit", mc(F.col("key"))).collect()}
+    assert got == want
+    # all members flagged true
+    for r in members.collect():
+        assert got[r["key"]]
+
+
+def test_sharded_join_probe_xxhash(spark, keys_df, tmp_path):
+    from cuckoo_filter_spark.operators.sharded import sharded_might_contain_join
+
+    build = build_sharded_cuckoo_filter(
+        keys_df, "key", num_shards=4, hash_fn="xxhash64",
+        output_path=str(tmp_path / "shards_xx"),
+    )
+    joined = sharded_might_contain_join(keys_df, "key", build)
+    assert joined.where("might_contain").count() == keys_df.count()
