@@ -131,6 +131,46 @@ def run_build_bench(spark, n_rows: int, sharded: bool = False,
     }
 
 
+def run_kernel_microbench() -> dict:
+    """Single-core kernel rates mirroring the reference harness shape
+    (cuckoofilter_test.go:113-187: Insert/Lookup, 32-byte keys, single
+    (4,8) and packed (4,9); here at capacity 1M, plus encode/decode)."""
+    import numpy as np
+
+    from cuckoo_filter_spark.kernel.filter import CuckooKernel, split_hash
+    from cuckoo_filter_spark.hashing import metro64_flat
+
+    rng = np.random.default_rng(42)
+    n = 1_000_000
+    flat = rng.integers(0, 256, size=n * 32, dtype=np.int64).astype(np.uint8)
+    lens = np.full(n, 32, dtype=np.int64)
+    metro64_flat(flat[: 32 * 1000], lens[:1000])  # warm
+    t0 = time.perf_counter()
+    h = metro64_flat(flat, lens)
+    t_hash = time.perf_counter() - t0
+
+    out = {"hash_32B_keys_per_sec": round(n / t_hash, 1)}
+    for name, (b, f, tt) in {"single_4_8": (4, 8, 0), "packed_4_9": (4, 9, 1)}.items():
+        kern = CuckooKernel.for_capacity(n, b, f, tt)
+        idx, tag = split_hash(h, kern.params.num_buckets, f)
+        t0 = time.perf_counter()
+        kern.add_unique_hashed(idx, tag)
+        t_ins = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kern.contain_hashed(idx, tag)
+        t_look = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        blob = kern.to_bytes()
+        t_enc = time.perf_counter() - t0
+        out[name] = {
+            "inserts_per_sec": round(n / t_ins, 1),
+            "lookups_per_sec": round(n / t_look, 1),
+            "encode_mb_per_sec": round(len(blob) / 1e6 / t_enc, 1),
+            "load_factor": round(kern.load_factor(), 4),
+        }
+    return out
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
@@ -214,6 +254,7 @@ def main() -> None:
     t_total0 = time.perf_counter()
     qtimes = run_queries(spark, sf_dir)
     build = run_build_bench(spark, BENCH_ROWS, sharded=True)  # 10^12 path
+    kernel = run_kernel_microbench()
     total = round(time.perf_counter() - t_total0, 3)
 
     print(
@@ -226,6 +267,7 @@ def main() -> None:
                 "sf": sf,
                 "url_inserts_per_sec": build["inserts_per_sec"],
                 "build": build,
+                "kernel": kernel,
             }
         )
     )

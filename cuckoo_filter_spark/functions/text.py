@@ -84,8 +84,13 @@ def quality_score_expr(col: str | Column) -> Column:
     f = quality_features(col)
     len_score = F.least(f["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
     stop_score = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    # penalty terms only count once the doc has some substance, so
+    # trivially short docs don't ride on "no punctuation" alone
+    substance = F.least(f["n_chars"].cast("double") / F.lit(50.0), F.lit(1.0))
     punct_penalty = F.greatest(F.lit(1.0) - f["punct_ratio"] * 5.0, F.lit(0.0))
-    return (0.4 * len_score + 0.3 * stop_score + 0.3 * punct_penalty).alias("quality")
+    return (0.4 * len_score + 0.3 * stop_score + 0.3 * punct_penalty * substance).alias(
+        "quality"
+    )
 
 
 # ---------------------------------------------------------------------------

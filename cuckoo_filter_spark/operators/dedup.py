@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from cuckoo_filter_spark.hashing import metro64_batch, metro64_flat, to_flat_bytes
+from cuckoo_filter_spark.hashing import metro64_flat, to_flat_bytes
 
 _U64 = np.uint64
 

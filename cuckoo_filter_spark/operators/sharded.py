@@ -26,7 +26,6 @@ apply per shard.
 
 from __future__ import annotations
 
-import struct
 import time
 from dataclasses import dataclass, field
 from typing import Iterator

@@ -261,3 +261,15 @@ def test_multiset_insert_pairs_clips_at_2b():
         assert kern.delete([b"dup-key"]).all(), i
     assert not kern.delete([b"dup-key"]).any()
     assert kern.size() == 0
+
+
+def test_fp_self_test_matches_readme_figures():
+    """kernel.false_positive_rate (reference protocol, BE u32 keys)
+    lands near the README-quoted expectations: ~0.03 at (4,8)
+    (README.md:29) and ~1e-4 at (4,16) (README.md:30)."""
+    k8 = CuckooKernel.for_capacity(20000, 4, 8)
+    fp8 = k8.false_positive_rate(rounds=50_000)
+    assert 0.01 < fp8 < 0.08, fp8
+    k16 = CuckooKernel.for_capacity(20000, 4, 16)
+    fp16 = k16.false_positive_rate(rounds=100_000)
+    assert fp16 < 5e-4, fp16

@@ -144,3 +144,41 @@ def test_multimodal_pipeline(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|decode"):
         image_features(media, decode_mode="strict").collect()
+
+
+def test_streaming_dedup_survives_restart(spark, tmp_path):
+    """State (filter blobs) persists in the streaming checkpoint: a
+    second run with the same checkpointLocation dedups against keys
+    seen in the first run."""
+    from cuckoo_filter_spark.streaming.dedup import streaming_dedup
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    out = str(tmp_path / "out")
+
+    def run_once(run_id):
+        stream = spark.readStream.schema("rid long, url string").parquet(src + "/*.parquet")
+        deduped = streaming_dedup(stream, "url", num_shards=4, shard_capacity=10000)
+        q = (
+            deduped.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return [r["url"] for r in spark.read.parquet(out).collect()]
+
+    spark.createDataFrame(
+        [(i, f"u{i}") for i in range(30)], "rid long, url string"
+    ).write.parquet(f"{src}/b0.parquet")
+    first = run_once(1)
+    assert sorted(first) == sorted({f"u{i}" for i in range(30)})
+
+    # second batch: 20 repeats + 10 new keys; restart from checkpoint
+    spark.createDataFrame(
+        [(100 + i, f"u{i}") for i in range(20)] + [(200 + i, f"v{i}",) for i in range(10)],
+        "rid long, url string",
+    ).write.parquet(f"{src}/b1.parquet")
+    second = run_once(2)
+    new = set(second) - set(first)
+    assert new == {f"v{i}" for i in range(10)}, f"repeats leaked: {sorted(new)}"
