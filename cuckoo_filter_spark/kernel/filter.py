@@ -268,11 +268,74 @@ class CuckooKernel:
         return self.delete_hashed(idx, tag)
 
     def delete_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
-        """Sequential-semantics batch delete (cuckoofilter.go:191-213).
+        """Batch delete (cuckoofilter.go:191-213 semantics).
 
-        Deletes remove ONE stored copy per call, and a successful delete
-        re-inserts the stashed victim; both make deletes order-dependent,
-        so this loops per item (numpy row ops). Not a bench hot path."""
+        Fast path (victim cache empty): fully vectorized — deletes are
+        grouped by canonical (pair, tag); a group of m requests removes
+        min(m, stored copies) copies, draining bucket i1's matches
+        before i2's like the reference. Distinct canonical groups touch
+        disjoint slots, so removal is a single scatter.
+
+        With an occupied victim cache the reference interleaves victim
+        re-insertion with deletes (order-dependent), so that rare case
+        keeps the sequential loop."""
+        n = len(idx)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        if not self.victim_used:
+            return self._delete_vectorized(idx.astype(np.int64),
+                                           tag.astype(np.uint32))
+        return self._delete_sequential(idx, tag)
+
+    def _delete_vectorized(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        n = len(idx)
+        out = np.zeros(n, dtype=bool)
+        nb = self.params.num_buckets
+        b = self.params.tags_per_bucket
+        i2 = alt_index(idx, tag, nb)
+        canon = self.canonical_pair(idx, tag)
+        order = np.argsort(canon, kind="stable")
+        sc = canon[order]
+        newgrp = np.empty(n, dtype=bool)
+        newgrp[0] = True
+        np.not_equal(sc[1:], sc[:-1], out=newgrp[1:])
+        start = np.flatnonzero(newgrp)
+        gid = np.cumsum(newgrp) - 1
+        rank = np.arange(n) - start[gid]  # per-group request order
+
+        reps = order[start]  # one representative row per group
+        g_i1 = idx[reps]
+        g_i2 = i2[reps]
+        g_tag = tag[reps]
+        m1 = self.slots[g_i1] == g_tag[:, None]  # [G, b]
+        m2 = self.slots[g_i2] == g_tag[:, None]
+        c1 = m1.sum(axis=1, dtype=np.int64)
+        c2 = m2.sum(axis=1, dtype=np.int64)
+        same = g_i1 == g_i2  # degenerate pair: both candidates one bucket
+        copies = np.where(same, c1, c1 + c2)
+        gsize = np.diff(np.r_[start, n])
+        removals = np.minimum(gsize, copies)
+
+        # success mask: rank < removals of its group
+        succ_sorted = rank < removals[gid]
+        out[order] = succ_sorted
+
+        # zero out the first `take1` matches in i1 then `take2` in i2
+        take1 = np.minimum(removals, c1)
+        take2 = np.where(same, 0, removals - take1)
+        cum1 = np.cumsum(m1, axis=1, dtype=np.int64)
+        kill1 = m1 & (cum1 <= take1[:, None])
+        cum2 = np.cumsum(m2, axis=1, dtype=np.int64)
+        kill2 = m2 & (cum2 <= take2[:, None])
+        gi = np.concatenate([np.repeat(g_i1, b), np.repeat(g_i2, b)])
+        gj = np.concatenate([np.tile(np.arange(b), len(reps))] * 2)
+        gk = np.concatenate([kill1.reshape(-1), kill2.reshape(-1)])
+        self.slots[gi[gk], gj[gk]] = 0
+        n_removed = int(removals.sum())
+        self.num_items -= n_removed
+        return out
+
+    def _delete_sequential(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         n = len(idx)
         out = np.zeros(n, dtype=bool)
         nb = self.params.num_buckets

@@ -273,3 +273,40 @@ def test_fp_self_test_matches_readme_figures():
     k16 = CuckooKernel.for_capacity(20000, 4, 16)
     fp16 = k16.false_positive_rate(rounds=100_000)
     assert fp16 < 5e-4, fp16
+
+
+def test_vectorized_delete_matches_sequential():
+    """Vectorized batch delete (empty victim) == per-item sequential
+    delete on the same state, including duplicate delete requests."""
+    rng_local = np.random.default_rng(55)
+    keys = [rng_local.bytes(16) for _ in range(800)]
+    dup_heavy = keys[:50] * 3 + keys[400:500] + [rng_local.bytes(16) for _ in range(200)]
+
+    a = CuckooKernel.for_capacity(2000, 4, 12)
+    a.add(keys)
+    b = CuckooKernel.from_bytes(a.to_bytes())
+
+    got = a.delete(dup_heavy)  # vectorized path (victim empty)
+    # sequential reference: item-at-a-time
+    import numpy as _np
+
+    exp = _np.zeros(len(dup_heavy), dtype=bool)
+    for i, k in enumerate(dup_heavy):
+        exp[i] = bool(b.delete([k])[0])
+    assert _np.array_equal(got, exp)
+    assert a.size() == b.size()
+    assert _np.array_equal(_np.sort(a.slots, axis=None), _np.sort(b.slots, axis=None))
+
+
+def test_vectorized_delete_speed_smoke():
+    kern = CuckooKernel.for_capacity(200_000, 4, 16)
+    local = np.random.default_rng(8)
+    keys = [local.bytes(16) for _ in range(150_000)]
+    kern.add(keys)
+    import time
+
+    t0 = time.perf_counter()
+    ok = kern.delete(keys[:100_000])
+    dt = time.perf_counter() - t0
+    assert ok.all()
+    assert dt < 3.0, f"vectorized delete too slow: {dt:.2f}s"
