@@ -190,7 +190,8 @@ def minhash_near_dup_pairs(
     if bands is None:
         bands, _ = choose_bands(n_perms, threshold)
     sigs = add_minhash_signatures(df, text_col, id_col, n_perms, k)
-    sigs.cache()
+    sigs.cache().count()  # eager: both join branches must hit the cache,
+    # not race to recompute the signature UDF
     bandsdf = _bands_from_sigs(sigs, id_col, n_perms, bands)
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
@@ -277,6 +278,7 @@ def simhash_near_dup_pairs(
     block_bits = 64 // nblocks
     sh = add_simhash(df.select(id_col, text_col), text_col, "simhash", k)
     sh = sh.select(id_col, "simhash").cache()
+    sh.count()  # eager cache: the self-join must not recompute the UDF
     blocks = sh.select(
         id_col,
         "simhash",
@@ -293,6 +295,10 @@ def simhash_near_dup_pairs(
         ).alias("blk"),
     ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
     a, b = blocks.alias("a"), blocks.alias("b")
+    # hamming check inside the join condition: the overwhelming majority
+    # of block-collision candidates (hamming ≈ 32 for unrelated docs)
+    # die during the join, before the dedup exchange
+    hamming_ab = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     cands = (
         a.join(
             b,
@@ -300,20 +306,17 @@ def simhash_near_dup_pairs(
                 F.col("a.block_id") == F.col("b.block_id"),
                 F.col("a.block_val") == F.col("b.block_val"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                hamming_ab <= max_hamming,
             ],
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming_ab.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.withColumn("hamming", hamming).where(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return cands.select("id_a", "id_b", "hamming")
 
 
 # ---------------------------------------------------------------------------
