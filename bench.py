@@ -171,6 +171,50 @@ def run_kernel_microbench() -> dict:
     return out
 
 
+def run_high_load_bench(spark, n_keys: int = 4_000_000, num_shards: int = 32) -> dict:
+    """The BASELINE metric's accuracy clause: inserts/sec and observed
+    FP rate at ~95% load, b=4, f=16. The sizing-rule bound is r = 2b/2^f
+    ≈ 1.22e-4 (README.md:50-52 quotes it rounded as ~0.0001); expected
+    FP at load L is ≈ 2b·L/2^f. Sharded build so the kick-heavy
+    near-capacity inserts run in parallel per shard."""
+    from cuckoo_filter_spark.operators.sharded import build_sharded_cuckoo_filter
+    from cuckoo_filter_spark.params import next_pow2
+
+    target_load = 0.95
+    uniq_frac = 0.909  # synthetic urls table has 10% dup rate
+    nb_shard = next_pow2(int(n_keys / (4 * target_load * num_shards)))
+    slots = nb_shard * 4 * num_shards
+    n_keys = int(slots * target_load / uniq_frac)
+    # headroom chosen so for_capacity() lands exactly on nb_shard
+    headroom = 0.9 * 4 * nb_shard * num_shards / n_keys
+
+    path = ensure_pages(spark, n_keys, urls_only=True)
+    pages = spark.read.parquet(path).select("url")
+    pages.count()
+    t0 = time.perf_counter()
+    build = build_sharded_cuckoo_filter(
+        pages, "url", capacity=n_keys, num_shards=num_shards,
+        bits_per_item=16, headroom=headroom,
+    )
+    wall = time.perf_counter() - t0
+    assert build.params.num_buckets == nb_shard, (build.params, nb_shard)
+
+    probes = [f"https://absent{i}.example.test/q/{i}" for i in range(200_000)]
+    fp = float(build.contain(probes).mean())
+    stored = sum(m["stored"] for m in build.metrics)
+    return {
+        "target_load": target_load,
+        "achieved_load": round(stored / slots, 4),
+        "rows": n_keys,
+        "build_sec": round(wall, 3),
+        "inserts_per_sec": round(n_keys / wall, 1),
+        "fp_rate": fp,
+        "fp_bound_sizing_rule": round(8 / 65536, 6),
+        "fp_expected_at_load": round(8 * (stored / slots) / 65536, 6),
+        "kicks": sum(m["kicks"] for m in build.metrics),
+    }
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
@@ -254,6 +298,7 @@ def main() -> None:
     t_total0 = time.perf_counter()
     qtimes = run_queries(spark, sf_dir)
     build = run_build_bench(spark, BENCH_ROWS, sharded=True)  # 10^12 path
+    high_load = run_high_load_bench(spark)
     kernel = run_kernel_microbench()
     total = round(time.perf_counter() - t_total0, 3)
 
@@ -267,6 +312,7 @@ def main() -> None:
                 "sf": sf,
                 "url_inserts_per_sec": build["inserts_per_sec"],
                 "build": build,
+                "high_load": high_load,
                 "kernel": kernel,
             }
         )
