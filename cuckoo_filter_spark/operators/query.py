@@ -77,6 +77,25 @@ def might_contain_udf(spark, build: CuckooBuild | bytes):
     return might_contain
 
 
+def register_might_contain(spark, name: str, build: CuckooBuild | bytes) -> None:
+    """Register the membership predicate as a SQL function, so pure-SQL
+    pipelines can use it: ``SELECT * FROM t WHERE <name>(url)``."""
+    blob = build.blob if isinstance(build, CuckooBuild) else build
+    hash_fn = build.hash_fn if isinstance(build, CuckooBuild) else "metro64"
+    if hash_fn != "metro64":
+        raise ValueError("SQL registration supports metro64 builds "
+                         "(xxhash64 probes compose a JVM expression)")
+    bcast = spark.sparkContext.broadcast(blob)
+    bid = bcast._jbroadcast.id()
+
+    @pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        kern = _cached_kernel(bid, bcast)
+        return pd.Series(kern.contain(keys))
+
+    spark.udf.register(name, might_contain)
+
+
 def cuckoo_semi_join(
     probe: DataFrame,
     probe_key: str,

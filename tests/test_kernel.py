@@ -310,3 +310,27 @@ def test_vectorized_delete_speed_smoke():
     dt = time.perf_counter() - t0
     assert ok.all()
     assert dt < 3.0, f"vectorized delete too slow: {dt:.2f}s"
+
+
+def test_delete_with_victim_engaged_reinserts():
+    """Sequential delete path: a successful table delete frees space and
+    re-inserts the stashed victim (cuckoofilter.go:205-212)."""
+    kern = CuckooKernel.for_capacity(250, 4, 8)
+    local = np.random.default_rng(21)
+    keys = [local.bytes(32) for _ in range(kern.params.size_in_tags + 50)]
+    try:
+        kern.add(keys)
+    except FilterFullError:
+        pass
+    if not kern.victim_used:  # fill further until the stash engages
+        for k in ([local.bytes(32) for _ in range(200)]):
+            kern.add([k])
+            if kern.victim_used:
+                break
+    assert kern.victim_used
+    size_before = kern.size()
+    # delete any stored key -> victim must be re-inserted (stash freed)
+    target = next(k for k in keys if kern.contain([k])[0])
+    assert kern.delete([target]).all()
+    assert not kern.victim_used, "victim not re-inserted after delete"
+    assert kern.size() == size_before - 1

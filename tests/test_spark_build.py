@@ -90,3 +90,18 @@ def test_semi_join_approximate_superset(spark):
     assert a >= e
     # f=16 → FP ~0.012%, superset should be tight
     assert a <= e * 1.01 + 10
+
+
+def test_register_might_contain_sql(spark, docs):
+    from cuckoo_filter_spark.operators.query import register_might_contain
+
+    keys = docs.select(F.concat_ws("/", "source", "doc_id").alias("key"))
+    build = build_cuckoo_filter(keys, "key")
+    register_might_contain(spark, "cf_contains", build)
+    keys.createOrReplaceTempView("keys_v")
+    n = spark.sql("SELECT count(*) AS n FROM keys_v WHERE cf_contains(key)").collect()[0]["n"]
+    assert n == keys.count()
+    miss = spark.sql(
+        "SELECT count(*) AS n FROM keys_v WHERE cf_contains(concat(key, '-absent'))"
+    ).collect()[0]["n"]
+    assert miss <= keys.count() * 0.01
