@@ -320,6 +320,73 @@ def simhash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# transitive clustering of near-dup pairs (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 12
+) -> DataFrame:
+    """(id_a, id_b) pairs → (doc_id, component) with component = min id of
+    the doc's connected component. Iterative min-label propagation: each
+    round every node takes the min label over itself and its neighbors;
+    converges in O(log(longest chain)) rounds (bounded by max_iters,
+    logged if truncated). Classic large-graph CC on DataFrames — each
+    iteration is one join + one aggregation (Catalyst-planned shuffles)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates()
+    )
+    edges.cache().count()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for it in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def collapse_near_dup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one representative (the min id) per connected
+    component of the near-dup pair graph."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 

@@ -28,15 +28,15 @@ def curate_corpus(
     min_quality: float = 0.3,
     keep_langs: tuple = ("en", "de", "fr", "es", "zh"),
     near_dup_threshold: float = 0.85,
+    cluster_transitive: bool = True,
     count_stages: bool = True,
 ) -> CurationResult:
     """Returns the curated corpus + per-stage row counts.
 
-    Near-dup removal keeps the min-id doc of each detected pair (pair
-    list from MinHash-LSH + exact-Jaccard verification); transitive
-    clusters collapse to their overall min via iterated pair pruning is
-    NOT performed — at corpus scale one pass removes the overwhelming
-    majority and repeated passes converge (documented trade)."""
+    Near-dup removal: pair list from MinHash-LSH + exact-Jaccard
+    verification; with cluster_transitive=True (default) duplicate
+    CHAINS (A~B, B~C) collapse to one representative per connected
+    component (min id); otherwise per-pair min-id pruning."""
     from cuckoo_filter_spark.functions.text import lang_id_udf, quality_score_expr
     from cuckoo_filter_spark.operators.dedup import (
         dedup_by_content_hash,
@@ -64,8 +64,14 @@ def curate_corpus(
 
     pairs = minhash_near_dup_pairs(exact, text_col, id_col,
                                    threshold=near_dup_threshold)
-    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
-    final = exact.join(losers, id_col, "left_anti")
+    if cluster_transitive:
+        from cuckoo_filter_spark.operators.dedup import collapse_near_dup_clusters
+
+        final = collapse_near_dup_clusters(exact, pairs.select("id_a", "id_b"),
+                                           id_col=id_col)
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        final = exact.join(losers, id_col, "left_anti")
     if count_stages:
         stats["after_near_dedup"] = final.count()
     return CurationResult(df=final, stats=stats)

@@ -142,3 +142,23 @@ def test_embedding_near_dup(spark, rng):
     assert hit >= 4, f"LSH recall too low: {found}"
     for r in pairs:
         assert r["cosine"] >= 0.99
+
+
+def test_connected_components_chain(spark):
+    from cuckoo_filter_spark.operators.dedup import (
+        collapse_near_dup_clusters,
+        connected_components,
+    )
+
+    # chain 1-2-3-4, pair (10,11), singleton edge-less docs absent from pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in collapse_near_dup_clusters(docs, pairs).collect()}
+    assert kept == {1, 10, 99}
