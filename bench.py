@@ -131,6 +131,33 @@ def run_build_bench(spark, n_rows: int, sharded: bool = False,
     }
 
 
+def run_probe_bench(spark, n_rows: int) -> dict:
+    """End-to-end query-side throughput: might_contain over the whole
+    urls table through the broadcast pandas-UDF (scan + Arrow + hash +
+    vectorized bucket probes)."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.query import might_contain_udf
+
+    path = ensure_pages(spark, n_rows, urls_only=True)
+    pages = spark.read.parquet(path).select("url")
+    # small build side → selective membership probe over the full table
+    members = pages.limit(200_000)
+    build = build_cuckoo_filter(members, "url", capacity=200_000)
+    mc = might_contain_udf(spark, build)
+    pages.count()  # warm scan
+    t0 = time.perf_counter()
+    hits = pages.where(mc(F.col("url"))).count()
+    wall = time.perf_counter() - t0
+    return {
+        "rows_probed": n_rows,
+        "hits": hits,
+        "probe_sec": round(wall, 3),
+        "probes_per_sec": round(n_rows / wall, 1),
+    }
+
+
 def run_kernel_microbench() -> dict:
     """Single-core kernel rates mirroring the reference harness shape
     (cuckoofilter_test.go:113-187: Insert/Lookup, 32-byte keys, single
@@ -299,6 +326,7 @@ def main() -> None:
     qtimes = run_queries(spark, sf_dir)
     build = run_build_bench(spark, BENCH_ROWS, sharded=True)  # 10^12 path
     high_load = run_high_load_bench(spark)
+    probe = run_probe_bench(spark, BENCH_ROWS)
     kernel = run_kernel_microbench()
     total = round(time.perf_counter() - t_total0, 3)
 
@@ -313,6 +341,7 @@ def main() -> None:
                 "url_inserts_per_sec": build["inserts_per_sec"],
                 "build": build,
                 "high_load": high_load,
+                "probe": probe,
                 "kernel": kernel,
             }
         )
