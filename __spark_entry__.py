@@ -453,9 +453,10 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   SUM(CASE WHEN trim(text) = '' THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
-                   SUM(length(text)) AS n_chars
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                       AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars
             FROM documents
             GROUP BY lang ORDER BY lang
         """,

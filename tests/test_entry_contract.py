@@ -46,9 +46,22 @@ def test_query_matches_oracle(name, spark, duck):
     if sql is None:
         assert len(got) >= 0
         return
-    res = duck.execute(sql)
-    want_cols = [d[0] for d in res.description]
-    want = _normalize(res.fetchall(), want_cols)
+    want_cols = [d[0] for d in duck.execute(sql).description]
+    # The driver's value-hash is TYPE-sensitive (it hashes the materialized
+    # frames, where e.g. DuckDB HUGEINT widens to float64/object while Spark
+    # bigint stays int64).  Compare pandas dtype kinds so oracle/Spark type
+    # drift fails here instead of only in CORRECTNESS_r{N}.json.
+    want_pdf = duck.execute(sql).df()
+    got_pdf = df.toPandas()
+
+    def _kind(dt):
+        k = dt.kind
+        return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "obj")
+
+    for c in got_cols:
+        gk, wk = _kind(got_pdf[c].dtype), _kind(want_pdf[c].dtype)
+        assert gk == wk, f"{name}.{c}: dtype kind {gk} != oracle {wk}"
+    want = _normalize(duck.execute(sql).fetchall(), want_cols)
     assert sorted(got_cols) == sorted(want_cols), f"{name}: column mismatch"
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     for g, w in zip(got, want):
