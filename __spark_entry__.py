@@ -89,14 +89,15 @@ def q_cuckoo_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct count via key-partitioned AddUnique build: duplicates
-    co-locate after repartition(key) so partition-local AddUnique is
-    globally exact; per-partition stored counts sum to the answer."""
+    """Exact distinct count via key-partitioned unique build: duplicates
+    co-locate after repartition(key), so partition-local RAW-key dedupe
+    is globally exact (the distinct_keys metric; fingerprint 'stored'
+    counts can undercount via canon-space collisions)."""
     from cuckoo_filter_spark.operators.build import build_cuckoo_filter
 
     ev = _t(spark, sf_dir, "events")
     build = build_cuckoo_filter(ev, "user_id", mode="unique_global", bits_per_item=16)
-    n = sum(m["stored"] for m in build.metrics)
+    n = sum(m["distinct_keys"] for m in build.metrics)
     return spark.createDataFrame([(n,)], "n_users bigint")
 
 
@@ -114,29 +115,41 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_grouped_lang_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped per-lang filters (applyInPandas): one unique-insert filter
-    per language; stored count = per-group distinct texts."""
-    import pandas as pd
+    """Exact per-lang distinct texts, two-phase: (lang, text)-partitioned
+    partial dedupe in mapInPandas, then a JVM sum per lang — no language
+    ever funnels into a single task (scale-safe for skewed groups)."""
+    from cuckoo_filter_spark.operators.grouped import grouped_distinct_count
 
-    from cuckoo_filter_spark.kernel.filter import CuckooKernel
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_distinct_count(docs, "lang", "text").orderBy("lang")
 
-    docs = _t(spark, sf_dir, "documents").select("lang", "text")
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        kern = CuckooKernel.for_capacity(max(2 * len(pdf), 64), 4, 16)
-        stored = int(kern.add_unique(pdf["text"]).sum())
-        return pd.DataFrame({"lang": [pdf["lang"].iloc[0]], "n_distinct": [stored]})
+def q_grouped_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group incremental dedup: docs whose (lang, text) is NOT in the
+    seen corpus, via per-lang cuckoo filters (grouped_anti_join —
+    definite non-members bypass the verification join), counted by
+    source."""
+    from cuckoo_filter_spark.operators.grouped import grouped_anti_join
 
-    out = docs.groupBy("lang").applyInPandas(per_group, "lang string, n_distinct bigint")
-    return out.orderBy("lang")
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 250)
+    new_docs = grouped_anti_join(docs, "lang", "text", seen)
+    return (
+        new_docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_new"))
+        .orderBy("source")
+    )
 
 
 def q_delete_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delete parity: build a filter over all order keys, batch-delete the
-    finished ('F') orders, use the remaining filter to prune lineitem,
+    """Distributed delete parity: sharded multiset build over all order
+    keys, cogroup-delete the finished ('F') orders (delete keys never
+    pass through the driver), probe lineitem with the updated shards,
     then verify exactly against the remaining order set."""
-    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
-    from cuckoo_filter_spark.operators.query import might_contain_udf
+    from cuckoo_filter_spark.operators.sharded import (
+        build_sharded_cuckoo_filter,
+        sharded_delete,
+        sharded_might_contain_udf,
+    )
 
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -144,16 +157,14 @@ def q_delete_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mode='multiset': delete workloads must keep one stored copy per
     # inserted row — distinct keys can collide on (pair, tag), and the
     # deduped membership build would make the second delete fail.
-    build = build_cuckoo_filter(orders, "o_orderkey", bits_per_item=16,
-                                table_type=1, mode="multiset")
-    kern = build.kernel()
-    gone = [r["o_orderkey"] for r in orders.where(F.col("o_orderstatus") == "F")
-            .select("o_orderkey").collect()]
-    import numpy as np
-
-    deleted = kern.delete(np.array(gone, dtype=np.int64))
-    assert deleted.all()
-    mc = might_contain_udf(spark, kern.to_bytes())
+    build = build_sharded_cuckoo_filter(orders, "o_orderkey", num_shards=8,
+                                        bits_per_item=16, table_type=1,
+                                        mode="multiset")
+    gone = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    after = sharded_delete(gone, "o_orderkey", build)
+    assert sum(m["deleted"] for m in after.metrics) == \
+        sum(m["requested"] for m in after.metrics)
+    mc = sharded_might_contain_udf(spark, after)
     pruned = li.where(mc(F.col("l_orderkey")))
     remaining = orders.where(F.col("o_orderstatus") != "F").select("o_orderkey")
     exact = pruned.join(remaining, pruned["l_orderkey"] == remaining["o_orderkey"],
@@ -390,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "incremental_dedup": q_incremental_dedup,
         "grouped_lang_distinct": q_grouped_lang_distinct,
+        "grouped_incremental_dedup": q_grouped_incremental_dedup,
         "delete_workload": q_delete_workload,
         "token_stats": q_token_stats,
         "minhash_dedup": q_minhash_dedup,
@@ -441,6 +453,15 @@ def oracle_sql() -> dict[str, str]:
         "grouped_lang_distinct": """
             SELECT lang, COUNT(DISTINCT text) AS n_distinct
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "grouped_incremental_dedup": """
+            SELECT source, COUNT(*) AS n_new
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents s
+                WHERE s.doc_id < 250 AND s.lang = d.lang AND s.text = d.text)
+            GROUP BY source
+            ORDER BY source
         """,
         "delete_workload": """
             SELECT l_linestatus, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty

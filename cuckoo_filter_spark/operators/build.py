@@ -45,8 +45,9 @@ from cuckoo_filter_spark.kernel.filter import CuckooKernel, alt_index, split_has
 from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
 
 BUILD_SCHEMA = (
-    "partition_id int, rows bigint, stored bigint, kicks bigint, "
-    "victim_used boolean, load_factor double, wall_ms double, blob binary"
+    "partition_id int, rows bigint, stored bigint, distinct_keys bigint, "
+    "kicks bigint, victim_used boolean, load_factor double, wall_ms double, "
+    "blob binary"
 )
 
 # Default headroom over the observed/declared key count when sizing the
@@ -54,6 +55,17 @@ BUILD_SCHEMA = (
 DEFAULT_HEADROOM = 1.15
 
 _SPARSE_MAGIC = b"SPRS"
+_HASH_MAGIC = b"HSH8"
+
+
+def pack_hashes(h: np.ndarray) -> bytes:
+    return _HASH_MAGIC + struct.pack("<Q", len(h)) + h.astype("<u8").tobytes()
+
+
+def unpack_hashes(blob: bytes) -> np.ndarray:
+    assert blob[:4] == _HASH_MAGIC
+    (n,) = struct.unpack_from("<Q", blob, 4)
+    return np.frombuffer(blob, dtype="<u8", count=n, offset=12)
 
 
 def pack_pairs(bi: np.ndarray, tags: np.ndarray) -> bytes:
@@ -111,8 +123,15 @@ def hashes_of(pdf_col, hash_fn: str) -> np.ndarray:
 
 
 def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
-                            hash_fn: str = "metro64"):
-    """mapInPandas: fingerprint + locally dedupe; emit (bucket, tag) pairs."""
+                            hash_fn: str = "metro64", count_keys: bool = False):
+    """mapInPandas: fingerprint + locally dedupe; emit (bucket, tag) pairs.
+
+    count_keys: additionally dedupe on the RAW key value (a per-partition
+    set) and report the count as ``distinct_keys``. Fingerprints collide
+    on the ~nb·2^f canon space, so ``stored`` under-counts distinct keys
+    with probability growing ~n²/canon_space; the raw-key count is exact
+    within the partition (and globally exact under ``unique_global``
+    co-location). Memory: one set of the partition's distinct keys."""
 
     nb, f = params.num_buckets, params.bits_per_item
 
@@ -124,11 +143,14 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
         t0 = time.perf_counter()
         bis: list[np.ndarray] = []
         tgs: list[np.ndarray] = []
+        seen: set | None = set() if count_keys else None
         for pdf in batches:
             keys = pdf[key_col]
             if len(keys) == 0:
                 continue
             rows += len(keys)
+            if seen is not None:
+                seen.update(keys.drop_duplicates().tolist())
             idx, tag = split_hash(hashes_of(keys, hash_fn), nb, f)
             bis.append(idx)
             tgs.append(tag)
@@ -146,6 +168,7 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
                 "partition_id": [pid],
                 "rows": [rows],
                 "stored": [len(bi)],
+                "distinct_keys": [len(seen) if seen is not None else None],
                 "kicks": [0],
                 "victim_used": [False],
                 "load_factor": [len(bi) / params.size_in_tags],
@@ -157,7 +180,55 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
     return build
 
 
-def _table_partial_builder(params: CuckooParams, key_col: str, unique: bool):
+def _hash_partial_builder(key_col: str, unique: bool, hash_fn: str = "metro64",
+                          count_keys: bool = False):
+    """mapInPandas partial that emits raw 64-bit hashes (8 B/key, the
+    same volume as split pairs) instead of (bucket, tag) pairs. Used
+    when no capacity hint exists: table params are then sized at combine
+    time from the DEDUPED global count — one scan total, no separate
+    count() pass, and the table is sized on distinct keys rather than
+    row count (tighter at high duplication)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        rows = 0
+        t0 = time.perf_counter()
+        hs: list[np.ndarray] = []
+        seen: set | None = set() if count_keys else None
+        for pdf in batches:
+            keys = pdf[key_col]
+            if len(keys) == 0:
+                continue
+            rows += len(keys)
+            if seen is not None:
+                seen.update(keys.drop_duplicates().tolist())
+            hs.append(hashes_of(keys, hash_fn))
+        h = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
+        if unique and len(h):
+            h = np.unique(h)  # same-key copies share a hash; canon-space
+            # dedupe happens again at insert time with the final params
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "rows": [rows],
+                "stored": [len(h)],
+                "distinct_keys": [len(seen) if seen is not None else None],
+                "kicks": [0],
+                "victim_used": [False],
+                "load_factor": [None],  # table not sized yet
+                "wall_ms": [wall_ms],
+                "blob": [pack_hashes(h)],
+            }
+        )
+
+    return build
+
+
+def _table_partial_builder(params: CuckooParams, key_col: str, unique: bool,
+                           count_keys: bool = False):
     """mapInPandas: one full-size partial filter blob per partition."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -168,11 +239,14 @@ def _table_partial_builder(params: CuckooParams, key_col: str, unique: bool):
         rows = 0
         stored = 0
         t0 = time.perf_counter()
+        seen: set | None = set() if count_keys else None
         for pdf in batches:
             keys = pdf[key_col]
             if len(keys) == 0:
                 continue
             rows += len(keys)
+            if seen is not None:
+                seen.update(keys.drop_duplicates().tolist())
             ok = kern.add_unique(keys) if unique else kern.add(keys)
             stored += int(ok.sum())
         wall_ms = (time.perf_counter() - t0) * 1000.0
@@ -181,6 +255,7 @@ def _table_partial_builder(params: CuckooParams, key_col: str, unique: bool):
                 "partition_id": [pid],
                 "rows": [rows],
                 "stored": [stored],
+                "distinct_keys": [len(seen) if seen is not None else None],
                 "kicks": [kern.kicks],
                 "victim_used": [kern.victim_used],
                 "load_factor": [kern.load_factor()],
@@ -208,8 +283,12 @@ def build_cuckoo_filter(
 ) -> CuckooBuild:
     """Build one global cuckoo filter over ``df[key_col]``.
 
-    capacity: expected number of keys; if None, counted with a cheap
-    ``df.count()`` (column-pruned scan).
+    capacity: expected number of keys. If None with sparse partials
+    (default), sizing is DEFERRED: partials carry raw 64-bit hashes and
+    the table is sized at combine time from the deduped count — one
+    scan total (no count() pass) and tighter tables under duplication.
+    If None with table partials, a column-pruned ``df.count()`` runs
+    first (full-size partial blobs need upfront params).
 
     mode:
     * ``unique_local`` (default) — set semantics for membership filters:
@@ -218,8 +297,14 @@ def build_cuckoo_filter(
       candidate buckets — ≤ 2b slots — so multiset inserts of heavily
       duplicated keys overflow; membership never needs the copies.)
     * ``unique_global`` — additionally ``repartition(key)`` so duplicate
-      keys co-locate; per-partition stored counts then sum to the exact
-      global distinct count (one shuffle).
+      keys co-locate; per-partition RAW-key dedupe counts (the
+      ``distinct_keys`` metric) then sum to the exact global distinct
+      count (one shuffle). ``stored`` stays the fingerprint count, which
+      can undercount distinct keys via canon-space collisions — use
+      ``distinct_keys`` for exact counting. (With hash_fn='xxhash64' the
+      "raw key" is the JVM 64-bit hash, so the count is exact w.r.t. the
+      hash and probabilistically exact w.r.t. keys, ~n²/2⁶⁵ collision
+      odds.)
     * ``multiset`` — reference Add semantics (one copy per row); needed
       when delete must track per-row copies.
 
@@ -244,9 +329,12 @@ def build_cuckoo_filter(
         df = df.select(F.xxhash64(key_col).alias(key_col))
         inner_hash = "__prehashed__"
     sel = df.select(key_col)
-    if params is None:
+    # No capacity hint + sparse partials → defer table sizing to combine
+    # time (partials carry raw hashes): avoids a dedicated count() scan.
+    deferred = params is None and capacity is None and partial_format == "sparse"
+    if params is None and not deferred:
         if capacity is None:
-            capacity = sel.count()
+            capacity = sel.count()  # table partials need upfront params
         params = CuckooParams.for_capacity(
             max(int(capacity * headroom), 64), tags_per_bucket, bits_per_item, table_type
         )
@@ -260,20 +348,37 @@ def build_cuckoo_filter(
         sel = sel.repartition(num_partitions)
 
     unique = mode != "multiset"
-    builder = (
-        _sparse_partial_builder(params, key_col, unique, inner_hash)
-        if partial_format == "sparse"
-        else _table_partial_builder(params, key_col, unique)
-    )
+    count_keys = mode == "unique_global"
+    if deferred:
+        builder = _hash_partial_builder(key_col, unique, inner_hash, count_keys)
+    elif partial_format == "sparse":
+        builder = _sparse_partial_builder(params, key_col, unique, inner_hash,
+                                          count_keys)
+    else:
+        builder = _table_partial_builder(params, key_col, unique, count_keys)
     parts = sel.mapInPandas(builder, BUILD_SCHEMA)
     rows = parts.collect()  # one small row per partition (pairs/metrics)
     rows.sort(key=lambda r: r["partition_id"])  # deterministic combine order
 
     metrics = [
-        {k: r[k] for k in ("partition_id", "rows", "stored", "kicks", "victim_used",
-                           "load_factor", "wall_ms")}
+        {k: r[k] for k in ("partition_id", "rows", "stored", "distinct_keys",
+                           "kicks", "victim_used", "load_factor", "wall_ms")}
         for r in rows
     ]
+
+    if deferred:
+        hs = [unpack_hashes(bytes(r["blob"])) for r in rows if r["rows"] > 0]
+        h = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
+        if unique and len(h):
+            h = np.unique(h)
+        params = CuckooParams.for_capacity(
+            max(int(len(h) * headroom), 64), tags_per_bucket, bits_per_item,
+            table_type)
+        merged = CuckooKernel(params)
+        idx, tag = split_hash(h, params.num_buckets, params.bits_per_item)
+        merged.insert_pairs(idx, tag, dedupe=unique)
+        return CuckooBuild(params=params, blob=merged.to_bytes(),
+                           metrics=metrics, hash_fn=hash_fn)
 
     merged = CuckooKernel(params)
     if partial_format == "sparse":

@@ -1,0 +1,221 @@
+"""Per-group cuckoo filters and exact grouped distinct counts.
+
+The naive "one applyInPandas task per group" funnels a whole group's
+rows through a single task — at web scale one language can be tens of
+TB. Both operators here are two-phase instead:
+
+* phase 1 — ``repartition(group, key)`` co-locates identical
+  (group, key) pairs, then a ``mapInPandas`` pass dedupes on the RAW
+  key per (partition, group) and emits tiny partial rows. Because
+  duplicates are co-located, partial distinct counts sum to the exact
+  global per-group distinct count — no group ever sits in one task.
+* phase 2 — a per-group combine of the partials. For counting this is
+  a plain JVM ``groupBy(group).sum`` (bytes per group ≈ 8·P). For
+  filter building the combine receives 8 bytes per distinct key of the
+  group (the deduped 64-bit hashes), sizes a reference-layout kernel
+  for exactly that group's cardinality, and runs the kick loop once.
+
+Scale note: the filter combine is inherently one task per group
+(a single filter is one blob); it is bounded by 8 B × group distinct
+count, fine to ~10⁸ distinct per group. Beyond that, build per-group
+*sharded* filters (operators.sharded) with a composite shard key.
+
+Reference parity: each per-group blob is a §1.5-layout filter
+(cuckoofilter.go:216-266 Encode), so merge/delete/probe semantics apply
+per group.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from cuckoo_filter_spark.kernel.filter import CuckooKernel, split_hash
+from cuckoo_filter_spark.operators.build import DEFAULT_HEADROOM, hashes_of
+from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
+
+
+def _group_field_ddl(df: DataFrame, group_col: str) -> str:
+    return f"{group_col} {df.schema[group_col].dataType.simpleString()}"
+
+
+def _partial_emitter(group_col: str, key_col: str, with_hashes: bool,
+                     hash_fn: str = "metro64"):
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        per_group: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, dropna=False, sort=False):
+                seen = per_group.setdefault(g, set())
+                seen.update(sub[key_col].drop_duplicates().tolist())
+        groups = list(per_group)
+        ns = [len(per_group[g]) for g in groups]
+        out = {group_col: groups, "n": ns}
+        if with_hashes:
+            blobs = []
+            for g in groups:
+                keys = pd.Series(sorted(per_group[g], key=repr))
+                blobs.append(hashes_of(keys, hash_fn).astype("<u8").tobytes())
+            out["blob"] = blobs
+        yield pd.DataFrame(out)
+
+    return emit
+
+
+def grouped_distinct_count(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    num_partitions: int | None = None,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact per-group COUNT(DISTINCT key) with no per-group task funnel.
+
+    One shuffle of (group, key) rows + one tiny shuffle of partial
+    counts; the only per-group work is summing P integers (JVM-side).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sel = df.select(group_col, key_col).repartition(n, F.col(group_col),
+                                                   F.col(key_col))
+    schema = f"{_group_field_ddl(df, group_col)}, n bigint"
+    partials = sel.mapInPandas(
+        _partial_emitter(group_col, key_col, with_hashes=False), schema)
+    return partials.groupBy(group_col).agg(F.sum("n").alias(out_col))
+
+
+GROUPED_BUILD_METRICS = (
+    "n_distinct bigint, stored bigint, load_factor double, blob binary"
+)
+
+
+def build_grouped_filters(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tags_per_bucket: int = 4,
+    bits_per_item: int = 16,
+    table_type: int = TABLE_SINGLE,
+    headroom: float = DEFAULT_HEADROOM,
+    num_partitions: int | None = None,
+    hash_fn: str = "metro64",
+) -> DataFrame:
+    """One reference-layout cuckoo membership filter PER GROUP, built
+    distributed: the scan/dedupe/hash work is partition-parallel; only
+    8 B per distinct key reaches each group's combiner, which sizes the
+    kernel for exactly that group's cardinality.
+
+    Returns a DataFrame (group, n_distinct, stored, load_factor, blob);
+    ``n_distinct`` is the exact raw-key distinct count, ``stored`` the
+    fingerprint-deduped slot count actually in the filter.
+    """
+    if hash_fn not in ("metro64", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    inner_hash = hash_fn
+    sel = df.select(group_col, key_col)
+    if hash_fn == "xxhash64":
+        sel = sel.select(group_col, F.xxhash64(key_col).alias(key_col))
+        inner_hash = "__prehashed__"
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sel = sel.repartition(n, F.col(group_col), F.col(key_col))
+    gddl = _group_field_ddl(df, group_col)
+    partials = sel.mapInPandas(
+        _partial_emitter(group_col, key_col, with_hashes=True, hash_fn=inner_hash),
+        f"{gddl}, n bigint, blob binary",
+    )
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_distinct = int(pdf["n"].sum())
+        h = (np.concatenate(
+            [np.frombuffer(bytes(b), dtype="<u8") for b in pdf["blob"]])
+            if len(pdf) else np.zeros(0, dtype=np.uint64))
+        params = CuckooParams.for_capacity(
+            max(int(n_distinct * headroom), 64), tags_per_bucket,
+            bits_per_item, table_type)
+        kern = CuckooKernel(params)
+        idx, tag = split_hash(h, params.num_buckets, params.bits_per_item)
+        stored = kern.insert_pairs(idx, tag, dedupe=True)
+        return pd.DataFrame({
+            group_col: [pdf[group_col].iloc[0]],
+            "n_distinct": [n_distinct],
+            "stored": [stored],
+            "load_factor": [kern.load_factor()],
+            "blob": [kern.to_bytes()],
+        })
+
+    return partials.groupBy(group_col).applyInPandas(
+        combine, f"{gddl}, {GROUPED_BUILD_METRICS}")
+
+
+_GROUP_KERNEL_CACHE: dict = {}
+
+
+def grouped_might_contain_udf(spark, filters: DataFrame | dict):
+    """Broadcast probe over per-group filters: ``f(group_col, key_col)
+    -> boolean Column``. The filters frame (one small blob row per
+    group) is collected + broadcast; probes route to their group's
+    kernel inside an Arrow-batched pandas UDF. Keys whose group has no
+    filter return False (nothing was inserted for that group).
+
+    metro64 builds only (blobs do not record hash_fn)."""
+    if isinstance(filters, DataFrame):
+        cols = filters.columns
+        gcol = cols[0]
+        rows = filters.select(gcol, "blob").collect()
+        blobs = {r[0]: bytes(r["blob"]) for r in rows}
+    else:
+        blobs = {g: bytes(b) for g, b in filters.items()}
+    bcast = spark.sparkContext.broadcast(blobs)
+    bid = bcast._jbroadcast.id()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def probe(groups: pd.Series, keys: pd.Series) -> pd.Series:
+        out = np.zeros(len(keys), dtype=bool)
+        codes, uniques = pd.factorize(groups, use_na_sentinel=True)
+        for ci, g in enumerate(uniques):
+            blob = bcast.value.get(g)
+            if blob is None:
+                continue
+            ck = (bid, g)
+            kern = _GROUP_KERNEL_CACHE.get(ck)
+            if kern is None:
+                if len(_GROUP_KERNEL_CACHE) > 256:
+                    _GROUP_KERNEL_CACHE.clear()
+                kern = CuckooKernel.from_bytes(blob)
+                _GROUP_KERNEL_CACHE[ck] = kern
+            mask = codes == ci
+            out[mask] = kern.contain(keys[mask])
+        return pd.Series(out)
+
+    def might_contain(group_col, key_col):
+        g = F.col(group_col) if isinstance(group_col, str) else group_col
+        k = F.col(key_col) if isinstance(key_col, str) else key_col
+        return probe(g, k)
+
+    return might_contain
+
+
+def grouped_anti_join(
+    probe: DataFrame,
+    group_col: str,
+    key_col: str,
+    seen: DataFrame,
+    filters: DataFrame | None = None,
+    **build_kwargs,
+) -> DataFrame:
+    """Exact per-group anti join (rows of ``probe`` whose (group, key)
+    does NOT appear in ``seen``), cuckoo-accelerated: definite
+    non-members of their group's filter bypass the verification join;
+    only maybe-members are checked with an exact left_anti on
+    (group, key). The per-group incremental-dedup pattern."""
+    if filters is None:
+        filters = build_grouped_filters(seen, group_col, key_col, **build_kwargs)
+    mc = grouped_might_contain_udf(probe.sparkSession, filters)
+    flagged = probe.withColumn("__maybe", mc(group_col, key_col))
+    definite_out = flagged.where(~F.col("__maybe")).drop("__maybe")
+    maybe = flagged.where(F.col("__maybe")).drop("__maybe")
+    rhs = seen.select(group_col, key_col).dropDuplicates([group_col, key_col])
+    verified_out = maybe.join(rhs, on=[group_col, key_col], how="left_anti")
+    return definite_out.unionByName(verified_out)

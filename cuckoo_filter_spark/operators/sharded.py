@@ -52,7 +52,17 @@ SHARD_SCHEMA = (
 
 def shard_of(h: np.ndarray, num_shards: int) -> np.ndarray:
     """Top log2(S) hash bits — disjoint from index/tag bits."""
+    if num_shards == 1:  # h >> 64 is undefined behavior in numpy/C
+        return np.zeros(len(h), dtype=np.int32)
     return (h >> np.uint64(64 - int(np.log2(num_shards)))).astype(np.int32)
+
+
+def _shard_expr_jvm(hcol, num_shards: int):
+    """JVM-side equivalent of shard_of over an xxhash64 column (the
+    shift is masked to 0 on the JVM for num_shards=1, so special-case)."""
+    if num_shards == 1:
+        return F.lit(0)
+    return F.shiftrightunsigned(hcol, 64 - int(np.log2(num_shards))).cast("int")
 
 
 @dataclass
@@ -307,14 +317,8 @@ def sharded_might_contain_join(
 
     if hash_fn == "xxhash64":
         withsh = probe.withColumn("__h", F.xxhash64(F.col(key_col)))
-
-        def shard_expr(df):
-            return (
-                F.shiftrightunsigned(F.col("__h"), 64 - int(np.log2(num_shards)))
-                .cast("int")
-            )
-
-        probe_sh = withsh.withColumn("__shard", shard_expr(withsh))
+        probe_sh = withsh.withColumn(
+            "__shard", _shard_expr_jvm(F.col("__h"), num_shards))
     else:
         from pyspark.sql.functions import pandas_udf
 
@@ -346,6 +350,112 @@ def sharded_might_contain_join(
         probe_sh.groupBy("__shard")
         .cogroup(blobs_sh.groupBy("__shard"))
         .applyInPandas(probe_group, out_schema)
+    )
+
+
+DELETE_SCHEMA = (
+    "shard int, requested bigint, deleted bigint, victim_used boolean, blob binary"
+)
+
+
+def sharded_delete(
+    keys_df: DataFrame,
+    key_col: str,
+    build: ShardedCuckooBuild,
+    shards_df: DataFrame | None = None,
+    output_path: str | None = None,
+) -> ShardedCuckooBuild:
+    """Fully-distributed delete (reference Delete + TryEliminateVictim,
+    cuckoofilter.go:191-213, applied per shard).
+
+    The delete keys are cogrouped with the shard blob rows by shard id,
+    so each task rewrites exactly ONE shard kernel — delete keys never
+    pass through the driver and no blob is broadcast. One shuffle of
+    (hash/key, shard) rows; per-shard deletes run in parallel on
+    executors. The build should be mode='multiset' (reference semantics:
+    Delete removes one stored copy per call; a deduped membership build
+    would make the second delete of a colliding key fail).
+
+    Returns a NEW ShardedCuckooBuild with the updated blobs; per-shard
+    metrics carry requested/deleted counts so callers can assert
+    ``deleted == requested`` (no false negatives ⇒ every inserted key
+    deletes successfully).
+    """
+    spark = keys_df.sparkSession
+    if shards_df is None:
+        if build.path is not None:
+            shards_df = spark.read.parquet(build.path).select("shard", "blob")
+        else:
+            shards_df = spark.createDataFrame(
+                [(int(s), bytearray(b)) for s, b in build.blobs.items()],
+                "shard int, blob binary",
+            )
+    params = build.params
+    num_shards = build.num_shards
+    hash_fn = build.hash_fn
+
+    if hash_fn == "xxhash64":
+        keyed = keys_df.select(F.xxhash64(F.col(key_col)).alias("__h"))
+        keyed = keyed.withColumn("__shard", _shard_expr_jvm(F.col("__h"), num_shards))
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def shard_udf(keys: pd.Series) -> pd.Series:
+            return pd.Series(shard_of(metro64_batch(keys), num_shards))
+
+        keyed = keys_df.select(F.col(key_col)).withColumn(
+            "__shard", shard_udf(F.col(key_col)))
+
+    def delete_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            # keys routed to a shard that was never built: nothing stored
+            # there, so nothing deletes (reference Delete returns false)
+            shard = int(left["__shard"].iloc[0])
+            return pd.DataFrame(
+                {"shard": [shard], "requested": [len(left)], "deleted": [0],
+                 "victim_used": [False], "blob": [None]})
+        shard = int(right["__shard"].iloc[0])
+        blob = bytes(right["blob"].iloc[0])
+        if len(left) == 0:  # untouched shard passes through unchanged
+            return pd.DataFrame(
+                {"shard": [shard], "requested": [0], "deleted": [0],
+                 "victim_used": [False], "blob": [blob]})
+        kern = CuckooKernel.from_bytes(blob)
+        if hash_fn == "xxhash64":
+            h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
+        else:
+            h = metro64_batch(left[key_col])
+        idx, tag = split_hash(h, params.num_buckets, params.bits_per_item)
+        ok = kern.delete_hashed(idx, tag)
+        return pd.DataFrame(
+            {"shard": [shard], "requested": [len(left)],
+             "deleted": [int(ok.sum())], "victim_used": [kern.victim_used],
+             "blob": [kern.to_bytes()]})
+
+    blobs_sh = shards_df.withColumnRenamed("shard", "__shard")
+    updated = (
+        keyed.groupBy("__shard")
+        .cogroup(blobs_sh.groupBy("__shard"))
+        .applyInPandas(delete_group, DELETE_SCHEMA)
+    )
+
+    if output_path is not None:
+        updated.where(F.col("blob").isNotNull()).write.mode("overwrite").parquet(
+            output_path)
+        mrows = spark.read.parquet(output_path).drop("blob").collect()
+        blobs = {}
+    else:
+        mrows = updated.collect()
+        blobs = {int(r["shard"]): bytes(r["blob"]) for r in mrows
+                 if r["blob"] is not None}
+    metrics = [
+        {k: r[k] for k in ("shard", "requested", "deleted", "victim_used")}
+        for r in mrows
+    ]
+    return ShardedCuckooBuild(
+        params=params, num_shards=num_shards, blobs=blobs, metrics=metrics,
+        path=output_path, hash_fn=hash_fn,
     )
 
 

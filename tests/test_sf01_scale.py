@@ -21,7 +21,9 @@ def duck01():
 
 
 @pytest.mark.parametrize("name", ["delete_workload", "cuckoo_semi_join",
-                                  "minhash_dedup", "simhash_dedup"])
+                                  "minhash_dedup", "simhash_dedup",
+                                  "distinct_users", "grouped_lang_distinct",
+                                  "grouped_incremental_dedup"])
 def test_scale_sensitive_queries_at_sf01(name, spark, duck01):
     df = em.queries()[name](spark, SF_DIR)
     got = sorted(tuple(r) for r in df.collect())

@@ -81,3 +81,69 @@ def test_sharded_join_probe_xxhash(spark, keys_df, tmp_path):
     )
     joined = sharded_might_contain_join(keys_df, "key", build)
     assert joined.where("might_contain").count() == keys_df.count()
+
+
+def test_sharded_delete_parity(spark, keys_df):
+    """Distributed delete matches reference semantics: every inserted key
+    deletes exactly once; remaining members still hit; deleted keys that
+    were unique to their (pair, tag) stop hitting (no false negatives on
+    survivors is the hard guarantee)."""
+    from cuckoo_filter_spark.operators.sharded import sharded_delete
+
+    n = keys_df.count()
+    build = build_sharded_cuckoo_filter(
+        keys_df, "key", capacity=n, num_shards=8, mode="multiset")
+    gone = keys_df.where(F.crc32("key") % 3 == 0)
+    keep = keys_df.where(F.crc32("key") % 3 != 0)
+    after = sharded_delete(gone, "key", build)
+    assert sum(m["deleted"] for m in after.metrics) == gone.count()
+    assert sum(m["requested"] for m in after.metrics) == gone.count()
+    # survivors: zero false negatives
+    keep_keys = [r["key"] for r in keep.collect()]
+    assert after.contain(keep_keys).all()
+    # multiset: a second delete of the same keys must fail for keys whose
+    # fingerprint now has zero copies — total stored dropped by deleted
+    assert after.size == n - gone.count()
+
+
+def test_sharded_delete_untouched_shards_pass_through(spark, keys_df):
+    from cuckoo_filter_spark.operators.sharded import sharded_delete
+
+    build = build_sharded_cuckoo_filter(keys_df, "key", num_shards=8,
+                                        mode="multiset")
+    none = spark.createDataFrame([], "key string")
+    after = sharded_delete(none, "key", build)
+    assert after.blobs == build.blobs  # byte-identical pass-through
+    assert sum(m["deleted"] for m in after.metrics) == 0
+
+
+def test_sharded_delete_absent_keys(spark, keys_df):
+    """Deleting never-inserted keys: deleted counts only fingerprint
+    collisions (reference Delete returns false on miss)."""
+    from cuckoo_filter_spark.operators.sharded import sharded_delete
+
+    build = build_sharded_cuckoo_filter(keys_df, "key", num_shards=4,
+                                        mode="multiset")
+    absent = spark.createDataFrame(
+        [(f"never-inserted-{i}",) for i in range(500)], "key string")
+    after = sharded_delete(absent, "key", build)
+    deleted = sum(m["deleted"] for m in after.metrics)
+    assert deleted <= 5  # only rare fingerprint collisions may delete
+    members = [r["key"] for r in keys_df.collect()]
+    hits = after.contain(members)
+    assert hits.sum() >= len(members) - deleted
+
+
+def test_shard_of_single_shard():
+    """num_shards=1: h >> 64 is UB — must route everything to shard 0."""
+    from cuckoo_filter_spark.operators.sharded import shard_of
+
+    h = np.random.default_rng(7).integers(0, 2**64, 1000, dtype=np.uint64)
+    assert (shard_of(h, 1) == 0).all()
+
+
+def test_sharded_build_single_shard(spark, keys_df):
+    build = build_sharded_cuckoo_filter(keys_df, "key", num_shards=1)
+    assert set(build.blobs) == {0}
+    members = [r["key"] for r in keys_df.collect()]
+    assert build.contain(members).all()
