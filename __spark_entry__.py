@@ -352,16 +352,17 @@ def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest + KLL quantiles of lineitem extendedprice (approximate —
-    rows-only; pytest pins accuracy)."""
+    """t-digest + KLL quantiles of lineitem extendedprice, built in ONE
+    scan via build_sketches (approximate — rows-only; pytest pins
+    accuracy)."""
     from cuckoo_filter_spark.sketches import KLLSketch, TDigestSketch
-    from cuckoo_filter_spark.sketches.base import build_sketch
+    from cuckoo_filter_spark.sketches.base import build_sketches
 
     li = _t(spark, sf_dir, "lineitem")
-    td, _ = build_sketch(li, "l_extendedprice", lambda: TDigestSketch(delta=200),
-                         value_kind="numeric")
-    kll, _ = build_sketch(li, "l_extendedprice", lambda: KLLSketch(k=200),
-                          value_kind="numeric")
+    td, kll = build_sketches(li, [
+        ("l_extendedprice", lambda: TDigestSketch(delta=200), "numeric"),
+        ("l_extendedprice", lambda: KLLSketch(k=200), "numeric"),
+    ])
     rows = [
         (float(q), float(td.quantile(q)), float(kll.quantile(q)))
         for q in (0.1, 0.5, 0.9, 0.99)

@@ -40,12 +40,22 @@ def _mix(x: np.ndarray, seed: np.ndarray | int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+_POLY_MUL = _U64(0x9E3779B97F4A7C15)
+
+
 def batch_shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     """All k-byte shingle hashes of a batch in one vectorized pass.
 
     Returns (hashes uint64[:], doc_offsets int64[n+1]) where doc i's
     shingles are hashes[doc_offsets[i]:doc_offsets[i+1]]. Empty/short
     docs get zero shingles.
+
+    hash = fmix64(polynomial over the k window bytes), computed as k
+    shifted multiply-adds over the flat utf-8 buffer — no per-window
+    gather and no per-key metro64 call (k-byte keys defeat metro64's
+    long-key vectorization; this rolling form measured ~100× faster at
+    equal signature quality — shingle hashes are internal to
+    MinHash/SimHash, not a reference byte-layout surface).
     """
     flat, lens = to_flat_bytes(texts)
     n = len(lens)
@@ -57,17 +67,16 @@ def batch_shingle_hashes(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     total = int(out_off[-1])
     if total == 0:
         return np.zeros(0, dtype=np.uint64), out_off
-    if len(flat) >= k:
-        windows = np.lib.stride_tricks.sliding_window_view(flat, k)
-    else:
-        windows = np.zeros((0, k), dtype=np.uint8)
+    m = len(flat) - k + 1  # windows at every flat position (doc-crossing
+    # windows are computed but never selected below)
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _POLY_MUL + flat[j:m + j]
+    h = _mix(acc, 0x5349_4D48)
     # valid window starts per doc: offsets[i] .. offsets[i]+counts[i]-1
-    starts = np.repeat(offsets[:-1], counts) + (
-        np.arange(total) - np.repeat(out_off[:-1], counts)
-    )
-    sel = np.ascontiguousarray(windows[starts]).reshape(-1)
-    hashes = metro64_flat(sel, np.full(total, k, dtype=np.int64))
-    return hashes, out_off
+    starts = np.arange(total, dtype=np.int64) + np.repeat(
+        offsets[:-1] - out_off[:-1], counts)
+    return h[starts], out_off
 
 
 # ---------------------------------------------------------------------------
@@ -245,13 +254,20 @@ def simhash_signatures(texts, k: int = 5) -> np.ndarray:
     out = np.zeros(n, dtype=np.int64)
     if len(hashes) == 0:
         return out
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & _U64(1)).astype(
-        np.int32
-    )
-    contrib = bits * 2 - 1  # ±1 per bit
-    nonempty = np.flatnonzero(np.diff(off) > 0)
-    sums = np.add.reduceat(contrib, off[nonempty], axis=0)
-    sig_bits = (sums > 0).astype(np.uint64)
+    # popcount-per-position via unpackbits (uint8, 8× smaller than the
+    # int32 ±1 matrix) + per-doc slice sums; majority bit:
+    # sum(±1) > 0  ⟺  2·popcount > n_shingles
+    bits = np.unpackbits(
+        np.ascontiguousarray(hashes).view(np.uint8).reshape(-1, 8),
+        axis=1, bitorder="little")  # column j == bit j (little-endian host)
+    counts = np.diff(off)
+    nonempty = np.flatnonzero(counts > 0)
+    # per-doc slice sums beat np.add.reduceat ~80× here (reduceat's
+    # per-segment dispatch on a wide uint8 matrix is pathological)
+    sums = np.empty((len(nonempty), 64), dtype=np.int64)
+    for i, d in enumerate(nonempty):
+        sums[i] = bits[off[d]:off[d + 1]].sum(axis=0)
+    sig_bits = (2 * sums > counts[nonempty][:, None]).astype(np.uint64)
     vals = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
     out[nonempty] = vals.astype(np.int64)
     return out

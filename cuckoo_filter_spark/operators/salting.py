@@ -19,10 +19,11 @@ FIND the skew would itself be the bottleneck.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from cuckoo_filter_spark.sketches.base import build_sketch
 from cuckoo_filter_spark.sketches.countmin import CountMinSketch
 
 
@@ -30,17 +31,51 @@ def detect_hot_keys(
     df: DataFrame, key_col: str, threshold_frac: float = 0.001,
     width: int = 1 << 16, depth: int = 4,
 ) -> list:
-    """Keys whose (overestimated) frequency exceeds threshold_frac of
-    rows — one count-min pass + one distinct scan of candidate keys.
-    CMS never underestimates, so no hot key is missed (some cold keys
-    may be flagged; harmless — they just get salted too)."""
-    cms, _ = build_sketch(df, key_col, lambda: CountMinSketch(width=width, depth=depth))
-    thresh = cms.total * threshold_frac
+    """Keys whose frequency exceeds threshold_frac of rows, in ONE scan
+    and without ever materializing the distinct key set (web-crawl host
+    columns have 10⁷–10⁸ distinct keys; a distinct().collect() dies).
 
-    # candidate pass: keys present at least once in a sampled distinct set
-    distinct_keys = [r[key_col] for r in df.select(key_col).distinct().collect()]
-    est = cms.query(pd.Series(distinct_keys))
-    return [k for k, e in zip(distinct_keys, est) if e >= thresh]
+    Per-partition partial = (CMS blob, local candidates). Candidates are
+    batch-level heavy keys: by ratio pigeonhole, a key with global
+    frequency ≥ frac·N must have count ≥ frac·batch_rows in at least one
+    Arrow batch — if it were below that ratio in every batch, summing
+    over batches would put it below frac·N globally. So the candidate
+    union is a guaranteed superset of the true hot set, bounded by
+    ≤ 1/frac keys per batch. The driver merges the CMS partials (never
+    underestimates) and keeps candidates clearing the global threshold:
+    no hot key is missed; rare cold keys flagged by CMS collisions are
+    harmless (they just get salted too)."""
+    key_t = df.schema[key_col].dataType.simpleString()
+    schema = f"rows bigint, blob binary, cands array<{key_t}>"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = CountMinSketch(width=width, depth=depth)
+        cands: set = set()
+        rows = 0
+        for pdf in batches:
+            vals = pdf[key_col]
+            if len(vals) == 0:
+                continue
+            rows += len(vals)
+            sk.update(vals)
+            vc = vals.value_counts()
+            cands.update(vc[vc >= threshold_frac * len(vals)].index.tolist())
+        yield pd.DataFrame(
+            {"rows": [rows], "blob": [sk.to_bytes()], "cands": [list(cands)]})
+
+    rows = df.select(key_col).mapInPandas(partial, schema).collect()
+    merged = CountMinSketch(width=width, depth=depth)
+    all_cands: set = set()
+    for r in rows:
+        if r["rows"] > 0:
+            merged = merged.merge(CountMinSketch.from_bytes(bytes(r["blob"])))
+            all_cands.update(r["cands"])
+    if not all_cands:
+        return []
+    cand_list = list(all_cands)
+    est = merged.query(pd.Series(cand_list))
+    thresh = merged.total * threshold_frac
+    return [k for k, e in zip(cand_list, est) if e >= thresh]
 
 
 def with_salt(

@@ -109,19 +109,64 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.n
     return centers
 
 
+def _sample_vectors(df: DataFrame, vec_col: str, sample_rows: int,
+                    seed: int) -> np.ndarray:
+    """Deterministic partition-stratified uniform sample via priority
+    sampling: every partition contributes ~sample_rows/P uniformly
+    chosen vectors (smallest seeded-random priorities), so clustered or
+    sorted input order cannot bias the sample — unlike ``limit()``,
+    which reads only the first partitions and yields degenerate k-means
+    centroids on cluster-ordered input."""
+    P = max(df.rdd.getNumPartitions(), 1)
+    per_part = max(int(np.ceil(sample_rows / P)), 8)
+
+    def take(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        rng = np.random.default_rng((seed * 1_000_003 + pid) & 0x7FFFFFFF)
+        ps, vs = [], []
+        n_buf = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ps.append(rng.random(len(pdf)))
+            vs.append(pdf[vec_col])
+            n_buf += len(pdf)
+            if n_buf > 8 * per_part:  # compact: keep the running best
+                p = np.concatenate(ps)
+                v = pd.concat(vs, ignore_index=True)
+                keep = np.argsort(p)[:per_part]
+                ps, vs = [p[keep]], [v.iloc[keep].reset_index(drop=True)]
+                n_buf = len(keep)
+        if not ps:
+            return
+        p = np.concatenate(ps)
+        v = pd.concat(vs, ignore_index=True)
+        keep = np.argsort(p)[:per_part]
+        out = v.iloc[keep].map(lambda a: np.asarray(a, dtype=np.float64))
+        yield pd.DataFrame({"vec": out})
+
+    rows = df.select(vec_col).mapInPandas(take, "vec array<double>").collect()
+    sample = np.array([r["vec"] for r in rows], dtype=np.float64)
+    if len(sample) > sample_rows:
+        sel = np.random.default_rng(seed).choice(
+            len(sample), size=sample_rows, replace=False)
+        sample = sample[sel]
+    return sample
+
+
 def build_ivf_index(
     df: DataFrame, vec_col: str, id_col: str,
     n_cells: int = 64, sample_rows: int = 4096, seed: int = 11,
 ) -> tuple[DataFrame, np.ndarray]:
     """Assigns each vector to its nearest coarse centroid (cell).
     Returns (df + 'cell' column, centroids). Centroids are trained on a
-    driver-side sample — at 10^12 rows a 1e5-row sample is plenty and
-    the assignment pass is a single broadcast matmul per batch."""
+    driver-side partition-stratified uniform sample — at 10^12 rows a
+    1e5-row sample is plenty and the assignment pass is a single
+    broadcast matmul per batch."""
     spark = df.sparkSession
-    sample = np.array(
-        [r[vec_col] for r in df.select(vec_col).limit(sample_rows).collect()],
-        dtype=np.float64,
-    )
+    sample = _sample_vectors(df, vec_col, sample_rows, seed)
     centers = _kmeans(sample, n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(centers)
 

@@ -64,3 +64,53 @@ def build_sketch(df, col: str, make_sketch: Callable[[], object], value_kind: st
     sketches = (type(proto).from_bytes(bytes(r["blob"])) for r in rows if r["rows"] > 0)
     merged = reduce(lambda a, b: a.merge(b), sketches, proto)
     return merged, metrics
+
+
+def build_sketches(df, specs: list[tuple]):
+    """Build SEVERAL mergeable sketches in ONE scan (one mapInPandas
+    pass; one small blob row per (partition, sketch)).
+
+    specs: list of (col, make_sketch, value_kind) triples — columns may
+    differ between sketches; the scan projects their union. Returns the
+    list of merged sketches in spec order. Halves (or better) the wall
+    time of workloads that previously called build_sketch per sketch.
+    """
+    cols = list(dict.fromkeys(c for c, _, _ in specs))
+    schema = "partition_id int, sketch_id int, rows bigint, wall_ms double, blob binary"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        sks = [make() for _, make, _ in specs]
+        rows = 0
+        t0 = time.perf_counter()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows += len(pdf)
+            for sk, (col, _, kind) in zip(sks, specs):
+                vals = pdf[col]
+                if kind == "numeric":
+                    sk.update(vals.to_numpy(dtype="float64"))
+                else:
+                    sk.update(vals)
+        wall = (time.perf_counter() - t0) * 1000.0
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid] * len(sks),
+                "sketch_id": list(range(len(sks))),
+                "rows": [rows] * len(sks),
+                "wall_ms": [wall] * len(sks),
+                "blob": [sk.to_bytes() for sk in sks],
+            }
+        )
+
+    rows = df.select(*cols).mapInPandas(partial, schema).collect()
+    merged = []
+    for sid, (_, make, _) in enumerate(specs):
+        proto = make()
+        parts = (type(proto).from_bytes(bytes(r["blob"])) for r in rows
+                 if r["sketch_id"] == sid and r["rows"] > 0)
+        merged.append(reduce(lambda a, b: a.merge(b), parts, proto))
+    return merged

@@ -58,15 +58,23 @@ def _true_jaccard(a: str, b: str, k=5):
 
 
 def test_shingles_match_naive():
-    texts = pd.Series(["hello world", "abc", "", "aaaaa"])
+    """Windowing semantics (offsets; equal windows → equal hashes across
+    docs and positions; distinct windows don't collide here). The hash
+    itself is the internal rolling poly+fmix — not a parity surface."""
+    texts = pd.Series(["hello world", "abc", "", "aaaaa", "xxabczz"])
     hashes, off = batch_shingle_hashes(texts, k=3)
-    from cuckoo_filter_spark.hashing import metro64
-
+    assert np.diff(off).tolist() == [9, 1, 0, 3, 5]
+    by_window: dict = {}
     for i, t in enumerate(texts):
         b = t.encode()
-        want = [metro64(b[j : j + 3]) for j in range(max(len(b) - 2, 0))]
-        got = hashes[off[i] : off[i + 1]].tolist()
-        assert got == want, i
+        got = hashes[off[i]: off[i + 1]].tolist()
+        for j, h in enumerate(got):
+            w = bytes(b[j: j + 3])
+            assert by_window.setdefault(w, h) == h, (i, w)
+    # 'abc' hashes identically standalone and embedded in 'xxabczz'
+    assert len(by_window) == len(set(by_window.values())), "collision"
+    # 'aaaaa' → one distinct window value repeated 3×
+    assert len(set(hashes[off[3]: off[4]].tolist())) == 1
 
 
 def test_minhash_signature_similarity_tracks_jaccard(corpus):

@@ -182,3 +182,24 @@ def test_streaming_dedup_survives_restart(spark, tmp_path):
     second = run_once(2)
     new = set(second) - set(first)
     assert new == {f"v{i}" for i in range(10)}, f"repeats leaked: {sorted(new)}"
+
+
+def test_hot_key_detection_high_cardinality(spark):
+    """10^6 distinct keys + 3 planted hot keys: detection must find the
+    hot set WITHOUT materializing the distinct key set on the driver
+    (single mapInPandas pass; candidates are batch-level heavy keys)."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.salting import detect_hot_keys
+
+    n = 1_200_000
+    base = spark.range(n).select(
+        F.concat(F.lit("host-"), F.col("id")).alias("host"))
+    hot = spark.range(150_000).select(
+        F.concat(F.lit("hot-"), (F.col("id") % 3)).alias("host"))
+    df = base.unionAll(hot)
+    found = detect_hot_keys(df, "host", threshold_frac=0.01)
+    assert {"hot-0", "hot-1", "hot-2"}.issubset(set(found))
+    # every base key has frequency 1/1.35M << 1% — none should survive
+    # the CMS verification (collisions could add a few; bound it)
+    assert len(found) <= 10
