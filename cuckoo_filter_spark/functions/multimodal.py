@@ -2,13 +2,14 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, batch
-shapes — is real and tested; the codec step is STUBBED because this
-container ships no image/audio libraries. Each decoder is gated behind
-an import-try: with the real library present (PIL / soundfile / av) the
-stub is replaced transparently; without it, ``decode_mode='fake'``
-produces a deterministic fake (metro64-seeded pixel/pcm block of the
-declared shape) so downstream feature extraction and tests exercise the
-full pipeline, and ``decode_mode='strict'`` raises NotImplementedError.
+shapes — is real and tested. The codec step is import-gated because
+this container ships no image/audio libraries: with PIL present the
+real decoder runs ('real' forces it, 'strict' uses it when available);
+without it, ``decode_mode='fake'`` produces a deterministic fake
+(metro64-seeded pixel/pcm block of the declared shape) so downstream
+feature extraction and tests exercise the full pipeline, and
+``decode_mode='strict'`` raises NotImplementedError rather than ever
+silently faking.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ MEDIA_SCHEMA = (
 
 
 def _try_real_image_decoder():
-    try:  # pragma: no cover - library not in this container
+    try:
         from PIL import Image  # noqa: F401
 
         return True
@@ -46,24 +47,52 @@ def _fake_decode_images(payloads: pd.Series, widths, heights) -> np.ndarray | li
     return out
 
 
+def _real_decode_images(payloads: pd.Series) -> list:
+    """PIL decode: payload bytes → uint8 HxWx3 RGB arrays."""
+    import io
+
+    from PIL import Image
+
+    out = []
+    for p in payloads:
+        with Image.open(io.BytesIO(bytes(p))) as im:
+            out.append(np.asarray(im.convert("RGB"), dtype=np.uint8))
+    return out
+
+
 def decode_image_features(decode_mode: str = "fake"):
     """mapInPandas fn: media rows → (media_id, mean_r, mean_g, mean_b,
-    luma_std). Real decode if PIL is available, else fake/strict."""
+    luma_std).
+
+    decode_mode:
+    * 'fake' — deterministic metro64-seeded pixels of the declared
+      shape; payloads need not be valid images (pipeline tests).
+    * 'real' — decode payload bytes with PIL (ImportError if absent).
+    * 'strict' — real decode when PIL is present, NotImplementedError
+      otherwise (never silently fake).
+    """
+    if decode_mode not in ("fake", "real", "strict"):
+        raise ValueError(f"unknown decode_mode {decode_mode!r}")
     has_real = _try_real_image_decoder()
+    if decode_mode == "real" and not has_real:
+        raise ImportError("decode_mode='real' requires PIL")
+    use_real = decode_mode == "real" or (decode_mode == "strict" and has_real)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             img = pdf[pdf["kind"] == "image"]
             if len(img) == 0:
                 continue
-            if has_real:  # pragma: no cover
-                raise NotImplementedError("real decoder wiring lands with the lib")
-            if decode_mode == "strict":
+            if decode_mode == "strict" and not has_real:
                 raise NotImplementedError(
                     "image decode requires PIL (not in this container); "
                     "use decode_mode='fake' for pipeline testing"
                 )
-            arrays = _fake_decode_images(img["payload"], img["width"], img["height"])
+            if use_real:
+                arrays = _real_decode_images(img["payload"])
+            else:
+                arrays = _fake_decode_images(
+                    img["payload"], img["width"], img["height"])
             means = np.array([a.reshape(-1, 3).mean(axis=0) for a in arrays])
             luma = np.array(
                 [float((0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]).std())

@@ -115,13 +115,18 @@ class CuckooKernel:
         return self.add_hashed(idx, tag)
 
     def add_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        """Sequential-equivalent batch Add: if the victim cache fills
+        mid-batch, items whose chains had not yet displaced anything are
+        rejected (False), exactly as sequential Add would reject them
+        upfront after the stash (cuckoofilter.go:135-141). Chains already
+        carrying an evicted tag must run to completion (dropping them
+        would lose a previously stored item); if a second such chain
+        exhausts, there is no sequential-order equivalent and the insert
+        fails loud with FilterFullError."""
         n = len(idx)
-        ok = np.zeros(n, dtype=bool)
         if n == 0 or self.victim_used:
-            return ok
-        ok[:] = True
-        self._insert_frontier(idx.astype(np.int64), tag.astype(np.uint32))
-        return ok
+            return np.zeros(n, dtype=bool)
+        return self._insert_frontier(idx.astype(np.int64), tag.astype(np.uint32))
 
     def add_unique(self, items) -> np.ndarray:
         """Batch AddUnique (cuckoofilter.go:144-149): skip keys already
@@ -141,26 +146,53 @@ class CuckooKernel:
         is_first = np.zeros(n, dtype=bool)
         is_first[first] = True
         todo = ~present & is_first
-        self._insert_frontier(idx[todo].astype(np.int64), tag[todo].astype(np.uint32))
-        ok[todo] = True
+        ok[todo] = self._insert_frontier(
+            idx[todo].astype(np.int64), tag[todo].astype(np.uint32))
         return ok
 
     def _insert_frontier(
         self, cur_i: np.ndarray, cur_t: np.ndarray, chunk: int = 1 << 17
-    ) -> None:
+    ) -> np.ndarray:
         """Frontier kick loop, fed in chunks (sequential-batch semantics;
-        keeps each round's sort/group work cache-sized)."""
+        keeps each round's sort/group work cache-sized). Returns the
+        per-item success mask; once the victim cache fills, later chunks
+        are rejected wholesale (reference Add rejects after stash)."""
+        ok = np.ones(len(cur_i), dtype=bool)
         for s in range(0, len(cur_i), chunk):
-            self._insert_frontier_chunk(cur_i[s : s + chunk], cur_t[s : s + chunk])
+            if self.victim_used:
+                ok[s:] = False
+                break
+            ci, ct = cur_i[s:s + chunk], cur_t[s:s + chunk]
+            snap = (self.slots.copy(), self.num_items, self.kicks)
+            try:
+                ok[s:s + chunk] = self._insert_frontier_chunk(ci, ct)
+            except FilterFullError:
+                # saturation with interleaved kick chains the batch loop
+                # cannot untangle: restore the chunk-start table and redo
+                # sequentially (single chain in flight → reference
+                # semantics, guaranteed stash-then-reject, never raises)
+                self.slots, self.num_items, self.kicks = snap
+                self.victim_used = False
+                for j in range(len(ci)):
+                    if self.victim_used:
+                        ok[s + j:s + len(ci)] = False
+                        break
+                    ok[s + j] = self._insert_frontier_chunk(
+                        ci[j:j + 1], ct[j:j + 1])[0]
+        return ok
 
-    def _insert_frontier_chunk(self, cur_i: np.ndarray, cur_t: np.ndarray) -> None:
-        """One frontier batch. Mutates slots/num_items/victim in place."""
+    def _insert_frontier_chunk(self, cur_i: np.ndarray, cur_t: np.ndarray) -> np.ndarray:
+        """One frontier batch. Mutates slots/num_items/victim in place;
+        returns the per-item success mask."""
         n = len(cur_i)
+        ok = np.ones(n, dtype=bool)
         if n == 0:
-            return
+            return ok
         cur_i = cur_i.copy()
         cur_t = cur_t.copy()
         attempts = np.zeros(n, dtype=np.int64)
+        evicted = np.zeros(n, dtype=bool)  # chain has displaced a stored tag
+        placed = np.zeros(n, dtype=bool)   # chain ended by placing its tag
         active = np.ones(n, dtype=bool)
         slots = self.slots
         b = self.params.tags_per_bucket
@@ -197,6 +229,7 @@ class CuckooKernel:
                 slots[pb, slot_j] = cur_t[p_items]
                 self.num_items += int(p_items.size)
                 active[p_items] = False
+                placed[p_items] = True
 
             u_items = s_items[~place]
             if u_items.size:
@@ -223,6 +256,7 @@ class CuckooKernel:
                     cur_t[evict_cand] = old
                     cur_i[evict_cand] = alt_index(eb, old, nb)
                     attempts[evict_cand] += 1
+                    evicted[evict_cand] = True
 
                 exhausted = np.nonzero(active & (attempts >= MAX_CUCKOO_KICKS))[0]
                 for e in exhausted:
@@ -233,12 +267,62 @@ class CuckooKernel:
                         self.victim_tag = int(cur_t[e])
                         self.victim_used = True
                         active[e] = False
+                        # sequential equivalence: chains that have not
+                        # displaced anything yet are "after the stash" in
+                        # any valid ordering → rejected, table untouched
+                        # by them. Chains carrying an evicted tag must
+                        # finish (dropping one loses a stored item).
+                        drop = active & ~evicted
+                        ok[drop] = False
+                        active[drop] = False
+                    elif self._rollback_one(
+                            e, cur_i, cur_t, ok, placed, evicted, nb, b):
+                        # a same-batch pristine placement in one of the
+                        # carrier's candidate buckets gave up its slot
+                        # (that item is rejected instead — it would have
+                        # been "after the stash" sequentially); the
+                        # carried tag, which belongs to an already-stored
+                        # item, is preserved.
+                        active[e] = False
                     else:
                         raise FilterFullError(
                             f"insert chain exhausted {MAX_CUCKOO_KICKS} kicks with victim "
                             f"cache occupied (load={self.load_factor():.3f})"
                         )
             round_no += 1
+        return ok
+
+    def _rollback_one(self, e: int, cur_i, cur_t, ok, placed, evicted,
+                      nb: int, b: int) -> bool:
+        """Graceful saturation for a kick chain that exhausts AFTER the
+        victim cache filled: its carried tag belongs to a stored item and
+        must not be lost, so evict a tag that a never-evicted chain of
+        THIS batch placed in one of the carrier's two candidate buckets,
+        reject that chain's item (sequentially it would have been
+        rejected post-stash anyway), and store the carried tag in the
+        freed slot. Returns False only when neither candidate bucket
+        holds a free slot or a same-batch pristine placement (then the
+        insert genuinely cannot be represented — caller fails loud)."""
+        slots = self.slots
+        tag = np.uint32(cur_t[e])
+        bi = int(cur_i[e])
+        alt = int(alt_index(cur_i[e:e + 1], cur_t[e:e + 1], nb)[0])
+        for bucket in (bi, alt):
+            for s in range(b):
+                t = slots[bucket, s]
+                if t == 0:  # a slot freed since the last probe round
+                    slots[bucket, s] = tag
+                    self.num_items += 1
+                    return True
+                cand = np.nonzero(placed & ~evicted & (cur_i == bucket)
+                                  & (cur_t == t))[0]
+                if cand.size:
+                    j = int(cand[0])
+                    ok[j] = False
+                    placed[j] = False
+                    slots[bucket, s] = tag  # one out, one in: num_items net 0
+                    return True
+        return False
 
     # ------------------------------------------------------------------
     # lookup
@@ -392,7 +476,13 @@ class CuckooKernel:
     def insert_pairs(self, bi: np.ndarray, tags: np.ndarray, dedupe: bool = False) -> int:
         """Insert raw (bucket, tag) pairs — the sparse-partial merge path.
         Sound at any stored index because alt_index is an involution.
-        Returns the number of pairs inserted (after dedupe)."""
+        Returns the number of pairs inserted (after dedupe).
+
+        Unlike Add (which rejects items after the victim stash, reference
+        semantics), a pair that does not fit here is LOST DATA — a merge
+        or shard combine silently dropping fingerprints would break the
+        no-false-negatives guarantee — so overflow raises
+        FilterFullError; size tables with headroom instead."""
         bi = bi.astype(np.int64)
         tags = tags.astype(np.uint32)
         if dedupe and len(bi):
@@ -439,9 +529,19 @@ class CuckooKernel:
             direct = rank < self.params.tags_per_bucket
             self.slots[s_b[direct], rank[direct]] = s_t[direct]
             self.num_items += int(direct.sum())
-            self._insert_frontier(s_b[~direct], s_t[~direct])
+            mask = self._insert_frontier(s_b[~direct], s_t[~direct])
+            if not mask.all():
+                raise FilterFullError(
+                    f"pair insert overflow: {int((~mask).sum())} of {n} "
+                    f"pairs rejected (load={self.load_factor():.3f}) — "
+                    f"losing pairs breaks no-false-negatives")
             return n
-        self._insert_frontier(bi, tags)
+        mask = self._insert_frontier(bi, tags)
+        if not mask.all():
+            raise FilterFullError(
+                f"pair insert overflow: {int((~mask).sum())} of {n} "
+                f"pairs rejected (load={self.load_factor():.3f}) — "
+                f"losing pairs breaks no-false-negatives")
         return n
 
     def canonical_pair(self, bi: np.ndarray, tags: np.ndarray) -> np.ndarray:

@@ -344,11 +344,17 @@ def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 12
 ) -> DataFrame:
     """(id_a, id_b) pairs → (doc_id, component) with component = min id of
-    the doc's connected component. Iterative min-label propagation: each
-    round every node takes the min label over itself and its neighbors;
-    converges in O(log(longest chain)) rounds (bounded by max_iters,
-    logged if truncated). Classic large-graph CC on DataFrames — each
-    iteration is one join + one aggregation (Catalyst-planned shuffles)."""
+    the doc's connected component.
+
+    Min-label propagation WITH pointer jumping: each round every node
+    takes the min label over itself and its neighbors (one hop), then
+    labels shortcut through their label's label (path halving) — so
+    convergence is O(log diameter) rounds, not O(diameter); a 300-hop
+    dup chain closes in ~9 rounds. Each round is two joins + one
+    aggregation (Catalyst-planned shuffles); the per-round count() is
+    control-plane only. Raises RuntimeError if max_iters rounds did not
+    converge (silent truncation would keep extra near-dup
+    representatives downstream)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -360,13 +366,14 @@ def connected_components(
         .dropDuplicates()
         .withColumn("component", F.col("doc_id"))
     )
+    changed = -1
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        hop = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
                 "doc_id",
@@ -375,18 +382,38 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels.cache()
+        # pointer jumping: component ← label(component). Labels are
+        # always real doc ids, so the self-join resolves; this is the
+        # path-halving step that makes long chains converge in log rounds.
+        parent = hop.select(F.col("doc_id").alias("pid"),
+                            F.col("component").alias("pcomp"))
+        new_labels = (
+            hop.join(parent, hop["component"] == parent["pid"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # truncate lineage every round: the label frame feeds two joins
+        # per iteration, so the un-checkpointed plan would double each
+        # round (exponential analysis cost → driver OOM near round 10)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters")
     return labels
 
 

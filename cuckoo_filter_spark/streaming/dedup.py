@@ -31,11 +31,27 @@ def streaming_dedup(
     shard_capacity: int = 1 << 20,
     bits_per_item: int = 16,
     output_mode: str = "append",
+    on_overflow: str = "passthrough",
 ) -> DataFrame:
     """stream → stream of first-seen rows (approximate distinct).
 
     Adds a __shard column (JVM hash, stable across restarts), groups by
-    it, and keeps one cuckoo-filter blob per shard in GroupState."""
+    it, and keeps one cuckoo-filter blob per shard in GroupState.
+
+    on_overflow — what happens once a shard's filter saturates (victim
+    cache occupied; AddUnique then rejects every new key, which would
+    otherwise silently DROP all further first-seen rows in that shard):
+    * 'passthrough' (default) — degrade to at-least-once: already-seen
+      keys still drop (the full filter probes fine), genuinely-new keys
+      are emitted but can no longer be recorded, so a later duplicate of
+      one may be re-emitted. No data loss.
+    * 'rotate' — reset the shard filter (new epoch): dedup memory is
+      windowed to ~shard_capacity keys per epoch; duplicates spanning a
+      rotation re-emit. Bounded state, no data loss.
+    * 'error' — fail the query loud (size shards up instead).
+    """
+    if on_overflow not in ("passthrough", "rotate", "error"):
+        raise ValueError(f"unknown on_overflow {on_overflow!r}")
     params = CuckooParams.for_capacity(shard_capacity, 4, bits_per_item, 0)
     in_schema = stream_df.schema
     out_schema = stream_df.schema
@@ -56,7 +72,18 @@ def streaming_dedup(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
+            if kern.victim_used and on_overflow == "rotate":
+                kern = CuckooKernel(params)  # new dedup epoch
             fresh = kern.add_unique(pdf[key_col])
+            if kern.victim_used:
+                if on_overflow == "error":
+                    raise RuntimeError(
+                        f"streaming_dedup shard {key} overflowed "
+                        f"shard_capacity={shard_capacity}; raise capacity "
+                        f"or num_shards, or use on_overflow='passthrough'")
+                # saturated: add_unique rejects keys it could not store —
+                # emit the genuinely-new ones anyway (at-least-once)
+                fresh = fresh | ~kern.contain(pdf[key_col])
             out = pdf.loc[fresh, cols]
             if len(out):
                 yield out

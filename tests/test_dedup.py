@@ -170,3 +170,26 @@ def test_connected_components_chain(spark):
     )
     kept = {r["doc_id"] for r in collapse_near_dup_clusters(docs, pairs).collect()}
     assert kept == {1, 10, 99}
+
+
+def test_connected_components_long_chain(spark):
+    """A 300-hop dup chain: plain min-label needs 300 rounds; pointer
+    jumping must close it within the default max_iters=12 (~log2 n)."""
+    from cuckoo_filter_spark.operators.dedup import connected_components
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    comp = connected_components(pairs)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_truncation_raises(spark):
+    from cuckoo_filter_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)

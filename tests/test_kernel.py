@@ -334,3 +334,56 @@ def test_delete_with_victim_engaged_reinserts():
     assert kern.delete([target]).all()
     assert not kern.victim_used, "victim not re-inserted after delete"
     assert kern.size() == size_before - 1
+
+
+def test_batch_add_overflow_semantics_match_sequential():
+    """Batch Add across the victim-stash boundary (cuckoofilter.go:
+    135-141,171-174): the 2b+1'th copy of one key exhausts its chain and
+    stashes; every item inserted after the stash — later call, or later
+    chunk of the same call — is rejected (False) like sequential Add;
+    accepted items are always contained (no false negatives)."""
+    import numpy as np
+
+    from cuckoo_filter_spark.kernel.filter import CuckooKernel, FilterFullError
+
+    kern = CuckooKernel.for_capacity(256, 4, 12)
+    b = kern.params.tags_per_bucket
+    ok = kern.add(["dup"] * (2 * b + 1))  # fills both candidate buckets,
+    # then the final copy's chain exhausts and stashes (counts stored)
+    assert ok.all()
+    assert kern.victim_used
+    assert kern.size() == 2 * b + 1
+    # sequential semantics: everything after the stash is rejected
+    later = kern.add([f"fresh{i}" for i in range(50)])
+    assert not later.any()
+    assert kern.contain(["dup"]).all()
+
+    # cross-chunk rejection inside ONE batch: chunk 2 starts after the
+    # stash from chunk 1 and must be rejected wholesale
+    kern2 = CuckooKernel.for_capacity(256, 4, 12)
+    idx, tag = kern2.fingerprints(["dup"] * (2 * b + 1) + ["x", "y", "z"])
+    mask = kern2._insert_frontier(idx.astype(np.int64), tag.astype(np.uint32),
+                                  chunk=2 * b + 1)
+    assert mask[:2 * b + 1].all() and not mask[2 * b + 1:].any()
+    accepted_size = kern2.size()
+    assert accepted_size == 2 * b + 1
+
+    # gross overload (3× more items than slots): Add saturates
+    # gracefully — accepted ≈ capacity, rest rejected, accepted items
+    # contained, never an exception (reference Add returns false)
+    kern3 = CuckooKernel.for_capacity(256, 4, 12)
+    total_slots = kern3.params.num_buckets * b
+    keys3 = [f"k{i}" for i in range(3 * total_slots)]
+    ok3 = kern3.add(keys3)
+    assert kern3.victim_used
+    assert 0 < int(ok3.sum()) <= total_slots + 1
+    assert kern3.size() == int(ok3.sum())
+    acc = [k for k, o in zip(keys3, ok3) if o]
+    assert kern3.contain(acc).all()
+
+    # insert_pairs (merge/combine path) must instead fail LOUD on
+    # overflow — dropping pairs would break no-false-negatives
+    kern4 = CuckooKernel.for_capacity(256, 4, 12)
+    idx4, tag4 = kern4.fingerprints(keys3)
+    with pytest.raises(FilterFullError):
+        kern4.insert_pairs(idx4.astype(np.int64), tag4.astype(np.uint32))

@@ -203,3 +203,65 @@ def test_hot_key_detection_high_cardinality(spark):
     # every base key has frequency 1/1.35M << 1% — none should survive
     # the CMS verification (collisions could add a few; bound it)
     assert len(found) <= 10
+
+
+def test_streaming_dedup_overflow_passthrough(spark, tmp_path):
+    """A saturated shard must NOT silently drop new rows: with
+    on_overflow='passthrough' (default), first-seen keys keep flowing
+    (at-least-once) even after the tiny filters overflow."""
+    from cuckoo_filter_spark.streaming.dedup import streaming_dedup
+
+    src = str(tmp_path / "srcov")
+    os.makedirs(src)
+    n = 4000  # >> 4 shards x capacity 64
+    spark.createDataFrame(
+        [(i, f"url{i}") for i in range(n)], "rid long, url string"
+    ).write.parquet(f"{src}/batch0.parquet")
+
+    stream = spark.readStream.schema("rid long, url string").parquet(src + "/*.parquet")
+    deduped = streaming_dedup(stream, "url", num_shards=4, shard_capacity=64)
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_ov")
+        .option("checkpointLocation", str(tmp_path / "ckov"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    urls = {r["url"] for r in spark.sql("select * from dedup_ov").collect()}
+    # every distinct key must appear at least once (allow the documented
+    # ~2b/2^f false-positive drop rate, NOT a wholesale drop)
+    assert len(urls) >= n * 0.99, f"only {len(urls)}/{n} keys survived overflow"
+
+
+def test_multimodal_decode_modes(spark):
+    """Mode gates, parameterized over PIL availability: 'strict' raises
+    without the lib and decodes with it; 'real' decodes a genuine image
+    when PIL exists (the real branch is wired, not a stub)."""
+    from cuckoo_filter_spark.functions.multimodal import (
+        _try_real_image_decoder,
+        image_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    if not _try_real_image_decoder():
+        with pytest.raises(Exception, match="PIL|NotImplementedError"):
+            image_features(media, decode_mode="strict").collect()
+        with pytest.raises(ImportError):
+            image_features(media, decode_mode="real")
+    else:  # pragma: no cover - PIL not in this container
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 4), (10, 20, 30)).save(buf, format="PNG")
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(buf.getvalue()), 8, 4, 0, 0)],
+            "media_id long, kind string, payload binary, width int, "
+            "height int, sample_rate int, n_frames int")
+        rows = image_features(df, decode_mode="real").collect()
+        assert len(rows) == 1
+        assert abs(rows[0]["mean_r"] - 10) < 1e-6
+        assert abs(rows[0]["mean_b"] - 30) < 1e-6
+    with pytest.raises(ValueError):
+        image_features(media, decode_mode="nope")
