@@ -245,6 +245,10 @@ def run_high_load_bench(spark, n_keys: int = 4_000_000, num_shards: int = 32) ->
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
+    # steady-state warmup (flagship at sf0.001): spins up python workers,
+    # Arrow serde and the numpy/metro64 JIT-ish first-call cost (~5×) so
+    # per-query numbers measure the operators, not session cold-start
+    entry_mod.entry(spark).collect()
     out = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.perf_counter()

@@ -37,7 +37,7 @@ class TDigestSketch:
         self.max = max(self.max, float(v.max()))
         self._buffer.append(v)
         self._buffered += len(v)
-        if self._buffered >= 8 * self.delta:
+        if self._buffered >= max(8 * self.delta, 16384):
             self._flush()
 
     def _flush(self) -> None:
@@ -54,36 +54,27 @@ class TDigestSketch:
         return self.delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
 
     def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Fully vectorized k-space clustering (the classic merging-
+        digest variant): each input centroid lands in the unit k-interval
+        of its cumulative-weight midpoint; consecutive equal intervals
+        merge. Same K1 size bound (a cluster never spans more than one
+        k-unit) and tail behavior as the greedy scan, with no per-item
+        Python loop."""
         order = np.argsort(means, kind="stable")
         means = means[order]
         weights = weights[order]
         total = weights.sum()
-        # greedy left-to-right merge honoring the k-size bound
-        q_limit_ks = self._k(np.array([0.0]))[0]
-        out_m: list[float] = []
-        out_w: list[float] = []
-        # vectorized-ish pass: cumulative q before each centroid
         cw = np.cumsum(weights)
-        q0 = 0.0
-        k0 = self._k(np.array([0.0]))[0]
-        cur_m = means[0] * weights[0]
-        cur_w = weights[0]
-        for i in range(1, len(means)):
-            q_new = (q0 * total + cur_w + weights[i]) / total
-            if self._k(np.array([q_new]))[0] - k0 <= 1.0:
-                cur_m += means[i] * weights[i]
-                cur_w += weights[i]
-            else:
-                out_m.append(cur_m / cur_w)
-                out_w.append(cur_w)
-                q0 += cur_w / total
-                k0 = self._k(np.array([q0]))[0]
-                cur_m = means[i] * weights[i]
-                cur_w = weights[i]
-        out_m.append(cur_m / cur_w)
-        out_w.append(cur_w)
-        self.means = np.array(out_m)
-        self.weights = np.array(out_w)
+        qmid = (cw - weights / 2) / total
+        k = self._k(qmid)
+        k_lo = self._k(np.array([0.0]))[0]
+        bucket = np.floor(k - k_lo)  # k is monotone in q → buckets sorted
+        newgrp = np.r_[True, bucket[1:] != bucket[:-1]]
+        gid = np.cumsum(newgrp) - 1
+        wsum = np.bincount(gid, weights=weights)
+        msum = np.bincount(gid, weights=means * weights)
+        self.means = msum / wsum
+        self.weights = wsum
         self.count = float(total)
 
     # -- merge --
