@@ -235,6 +235,63 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_byte_equal(batch, cands.select("id_a", "id_b"))
 
 
+def q_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus dedup keeping the min-id representative per distinct
+    text (dedup_by_content_hash: two-phase fingerprint agg — only
+    (fingerprint, id) pairs shuffle, never the text bodies)."""
+    from cuckoo_filter_spark.operators.dedup import dedup_by_content_hash
+
+    batch = _planted_batch(spark, sf_dir)
+    kept = dedup_by_content_hash(batch, "text", keep="min", id_col="doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.sum("doc_id").alias("sum_ids"))
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup collapse: chains of byte-equal copies
+    (doc ≡ copy+10000 ≡ copy+20000) found via MinHash-LSH, byte-verified,
+    clustered with connected components (pointer jumping), and collapsed
+    to the min-id representative per component."""
+    from cuckoo_filter_spark.operators.dedup import (
+        collapse_near_dup_clusters,
+        minhash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text")
+    c2 = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text")
+    batch = docs.unionByName(c1).unionByName(c2)
+    cands = minhash_near_dup_pairs(batch, "text", "doc_id", threshold=0.95)
+    pairs = _verify_byte_equal(batch, cands.select("id_a", "id_b"))
+    kept = collapse_near_dup_clusters(batch, pairs, id_col="doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.sum("doc_id").alias("sum_ids"))
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection over planted identical vectors:
+    hyperplane-LSH buckets (identical vectors always share a bucket →
+    exact recall on true dups) + exact verification."""
+    from cuckoo_filter_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    batch = emb.unionByName(copies)
+    cands = embedding_near_dup_pairs(batch, "embedding", "vec_id",
+                                     threshold=0.999)
+    va = batch.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = batch.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cands.select("id_a", "id_b").join(va, "id_a").join(vb, "id_b")
+        .where(F.col("va") == F.col("vb"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min candidate pruning + exact verification: top-3 event
     types by count. CMS never underestimates, so candidates within the
@@ -245,6 +302,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     cms, _ = build_sketch(ev, "event_type", lambda: CountMinSketch(width=1 << 14, depth=4))
+    # distinct().collect() is safe ONLY because event_type is a tiny enum
+    # column; for high-cardinality keys use
+    # operators.salting.detect_hot_keys (single-pass, no key-set collect)
     types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
     import pandas as pd
 
@@ -309,7 +369,7 @@ def q_sharded_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem")
-    parts = _t(spark, sf_dir, "part").where(F.col("p_retailprice") > 1500)
+    parts = _t(spark, sf_dir, "part").where(F.col("p_retailprice") > 990)
     build = build_sharded_cuckoo_filter(parts, "p_partkey", num_shards=8)
     mc = sharded_might_contain_udf(spark, build)
     pruned = li.where(mc(F.col("l_partkey")))
@@ -407,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "content_hash_dedup": q_content_hash_dedup,
+        "near_dup_clusters": q_near_dup_clusters,
+        "embedding_dedup": q_embedding_dedup,
         "heavy_hitters": q_heavy_hitters,
         "ann_topk": q_ann_topk,
         "rollup_orders": q_rollup_orders,
@@ -502,6 +565,42 @@ def oracle_sql() -> dict[str, str]:
             FROM batch a JOIN batch b ON a.text = b.text AND a.doc_id < b.doc_id
             ORDER BY id_a, id_b
         """,
+        "content_hash_dedup": """
+            WITH batch AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+            )
+            SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM batch b
+            WHERE b.doc_id = (SELECT MIN(s.doc_id) FROM batch s
+                              WHERE s.text = b.text)
+        """,
+        "near_dup_clusters": """
+            WITH batch AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+                UNION ALL
+                SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 25
+            )
+            SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM batch b
+            WHERE b.doc_id = (SELECT MIN(s.doc_id) FROM batch s
+                              WHERE s.text = b.text)
+        """,
+        "embedding_dedup": """
+            WITH batch AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM batch a JOIN batch b
+              ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+            ORDER BY id_a, id_b
+        """,
         "heavy_hitters": """
             SELECT event_type, COUNT(*) AS n
             FROM events GROUP BY event_type
@@ -534,7 +633,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
             FROM lineitem
             WHERE l_partkey IN (
-                SELECT p_partkey FROM part WHERE p_retailprice > 1500)
+                SELECT p_partkey FROM part WHERE p_retailprice > 990)
             GROUP BY l_returnflag
             ORDER BY l_returnflag
         """,

@@ -23,7 +23,8 @@ def duck01():
 @pytest.mark.parametrize("name", ["delete_workload", "cuckoo_semi_join",
                                   "minhash_dedup", "simhash_dedup",
                                   "distinct_users", "grouped_lang_distinct",
-                                  "grouped_incremental_dedup"])
+                                  "grouped_incremental_dedup",
+                                  "near_dup_clusters", "content_hash_dedup"])
 def test_scale_sensitive_queries_at_sf01(name, spark, duck01):
     df = em.queries()[name](spark, SF_DIR)
     got = sorted(tuple(r) for r in df.collect())
