@@ -649,3 +649,58 @@ class CuckooKernel:
         self.victim_index = 0
         self.victim_tag = 0
         self.victim_used = False
+
+
+class CuckooProbe:
+    """Zero-copy read-only Contain over a serialized blob — the
+    reference's DecodeFrom semantics (cuckoofilter.go:292-314 aliases the
+    input slice instead of copying; in-place init util.go:39-48).
+
+    For byte-aligned SingleTable layouts (f ∈ {8, 16, 32}) the tag
+    matrix is a dtype VIEW of the blob bytes: no decode pass and no
+    second copy, so a broadcast-probe executor holds only the blob
+    itself (previously blob + an unpacked uint32 matrix, 2–4× the blob).
+    Other layouts (unaligned f, PackedTable) fall back to a one-time
+    unpack. Probe-only: inserts/deletes need a full CuckooKernel."""
+
+    __slots__ = ("params", "slots", "victim_index", "victim_tag",
+                 "victim_used", "zero_copy")
+
+    def __init__(self, data: bytes):
+        if len(data) < 20:
+            raise ValueError("unexpected bytes length")
+        _, v_index, v_tag, used = struct.unpack_from("<IIIB", data, 0)
+        self.victim_index = v_index
+        self.victim_tag = v_tag
+        self.victim_used = used == 1
+        table_type = data[13]
+        if table_type == TABLE_SINGLE:
+            b, f, nb = struct.unpack_from("<BBI", data, 14)
+            if f in (8, 16, 32):
+                dt = {8: "<u1", 16: "<u2", 32: "<u4"}[f]
+                self.params = CuckooParams(b, f, nb, TABLE_SINGLE)
+                self.slots = np.frombuffer(
+                    data, dtype=dt, count=nb * b, offset=20).reshape(nb, b)
+                self.zero_copy = True
+                return
+        kern = CuckooKernel.from_bytes(data)
+        self.params = kern.params
+        self.slots = kern.slots
+        self.zero_copy = False
+
+    def contain_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        if len(idx) == 0:
+            return np.zeros(0, dtype=bool)
+        i2 = alt_index(idx, tag, self.params.num_buckets)
+        t = tag[:, None]  # == upcasts the narrow view dtype; values < 2^f
+        found = (self.slots[idx] == t).any(axis=1) | (self.slots[i2] == t).any(axis=1)
+        if self.victim_used:
+            found |= (tag == np.uint32(self.victim_tag)) & (
+                (idx == self.victim_index) | (i2 == self.victim_index)
+            )
+        return found
+
+    def contain(self, items) -> np.ndarray:
+        h = metro64_batch(items)
+        idx, tag = split_hash(h, self.params.num_buckets, self.params.bits_per_item)
+        return self.contain_hashed(idx, tag)

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from cuckoo_filter_spark.kernel.filter import CuckooKernel, split_hash
+from cuckoo_filter_spark.kernel.filter import CuckooKernel, CuckooProbe, split_hash
 from cuckoo_filter_spark.operators.build import DEFAULT_HEADROOM, hashes_of
 from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
 
@@ -183,7 +183,7 @@ def grouped_might_contain_udf(spark, filters: DataFrame | dict):
             if kern is None:
                 if len(_GROUP_KERNEL_CACHE) > 256:
                     _GROUP_KERNEL_CACHE.clear()
-                kern = CuckooKernel.from_bytes(blob)
+                kern = CuckooProbe(blob)
                 _GROUP_KERNEL_CACHE[ck] = kern
             mask = codes == ci
             out[mask] = kern.contain(keys[mask])

@@ -25,19 +25,20 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from cuckoo_filter_spark.kernel.filter import CuckooKernel
+from cuckoo_filter_spark.kernel.filter import CuckooProbe
 from cuckoo_filter_spark.operators.build import CuckooBuild
 
-# per-executor decode cache: broadcast id → CuckooKernel
-_KERNEL_CACHE: dict[int, CuckooKernel] = {}
+# per-executor probe cache: broadcast id → CuckooProbe (zero-copy view of
+# the broadcast blob for byte-aligned layouts — no unpacked second copy)
+_KERNEL_CACHE: dict[int, CuckooProbe] = {}
 
 
-def _cached_kernel(key: int, bcast) -> CuckooKernel:
+def _cached_kernel(key: int, bcast) -> CuckooProbe:
     kern = _KERNEL_CACHE.get(key)
     if kern is None:
         if len(_KERNEL_CACHE) > 64:  # bound executor memory across builds
             _KERNEL_CACHE.clear()
-        kern = CuckooKernel.from_bytes(bytes(bcast.value))
+        kern = CuckooProbe(bytes(bcast.value))
         _KERNEL_CACHE[key] = kern
     return kern
 

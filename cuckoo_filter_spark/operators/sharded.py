@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from cuckoo_filter_spark.hashing import metro64_batch
-from cuckoo_filter_spark.kernel.filter import CuckooKernel, split_hash
+from cuckoo_filter_spark.kernel.filter import CuckooKernel, CuckooProbe, split_hash
 from cuckoo_filter_spark.operators.build import (
     DEFAULT_HEADROOM,
     pack_pairs,
@@ -100,7 +100,7 @@ class ShardedCuckooBuild:
                               self.num_shards)
 
 
-_SHARD_KERNEL_CACHE: dict[tuple, CuckooKernel] = {}
+_SHARD_KERNEL_CACHE: dict[tuple, CuckooProbe] = {}
 
 
 def _probe_sharded(
@@ -127,10 +127,10 @@ def _probe_sharded(
             if kern is None:
                 if len(_SHARD_KERNEL_CACHE) > 256:  # bound executor memory
                     _SHARD_KERNEL_CACHE.clear()
-                kern = CuckooKernel.from_bytes(bytes(blob))
+                kern = CuckooProbe(bytes(blob))
                 _SHARD_KERNEL_CACHE[ck] = kern
         else:
-            kern = CuckooKernel.from_bytes(bytes(blob))
+            kern = CuckooProbe(bytes(blob))
         rows = order[lo:hi]
         idx, tag = split_hash(h[rows], params.num_buckets, params.bits_per_item)
         out[rows] = kern.contain_hashed(idx, tag)
@@ -335,7 +335,7 @@ def sharded_might_contain_join(
             out = left[cols].copy()
             out[flag_col] = False
             return out
-        kern = CuckooKernel.from_bytes(bytes(right["blob"].iloc[0]))
+        kern = CuckooProbe(bytes(right["blob"].iloc[0]))
         if hash_fn == "xxhash64":
             h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
         else:

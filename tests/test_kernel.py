@@ -387,3 +387,32 @@ def test_batch_add_overflow_semantics_match_sequential():
     idx4, tag4 = kern4.fingerprints(keys3)
     with pytest.raises(FilterFullError):
         kern4.insert_pairs(idx4.astype(np.int64), tag4.astype(np.uint32))
+
+
+@pytest.mark.parametrize("b,f,tt", [(4, 8, 0), (4, 16, 0), (4, 32, 0),
+                                    (4, 12, 0), (2, 7, 0), (4, 9, 1),
+                                    (4, 17, 1)])
+def test_probe_matches_kernel(b, f, tt):
+    """CuckooProbe (zero-copy DecodeFrom path for aligned layouts) must
+    answer Contain identically to the fully-decoded kernel, including
+    the victim cache."""
+    from cuckoo_filter_spark.kernel.filter import (
+        CuckooKernel,
+        CuckooProbe,
+        FilterFullError,
+    )
+
+    kern = CuckooKernel.for_capacity(400, b, f, tt)
+    keys = [f"key{i}" for i in range(500)]
+    try:
+        kern.add(keys)
+    except FilterFullError:
+        pass
+    blob = kern.to_bytes()
+    probe = CuckooProbe(blob)
+    assert probe.zero_copy == (tt == 0 and f in (8, 16, 32))
+    queries = keys + [f"absent{i}" for i in range(2000)]
+    import numpy as np
+
+    assert np.array_equal(probe.contain(queries), kern.contain(queries))
+    assert probe.victim_used == kern.victim_used
