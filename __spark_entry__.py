@@ -397,6 +397,76 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionByName(exc).orderBy("op")
 
 
+def _stream_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """readStream over a testdata table. The file stream source requires
+    a DIRECTORY, and the testdata tables are single files — symlink the
+    file into a scratch dir (testdata itself is read-only)."""
+    import tempfile
+
+    src = f"{sf_dir}/{name}.parquet"
+    d = tempfile.mkdtemp(prefix=f"stream_src_{name}_")
+    os.symlink(os.path.abspath(src), os.path.join(d, f"{name}.parquet"))
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def _run_stream(df_stream, query_name: str, output_mode: str):
+    """Run a streaming DataFrame to a memory sink with availableNow and
+    block until drained; returns the sink table name."""
+    import tempfile
+    import uuid
+
+    qn = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{query_name}_")
+    q = (
+        df_stream.writeStream.format("memory").queryName(qn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return qn
+
+
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming coverage, exact: event-time DAILY windowed
+    counts per event type through a real readStream → watermark →
+    window agg → memory sink run (availableNow), returned as a batch
+    frame. Complete output mode ⇒ every window emitted, exact counts."""
+    _ensure_package(spark)
+    stream = _stream_source(spark, sf_dir, "events")
+    # watermarks require TIMESTAMP (ts is stored as TIMESTAMP_NTZ); the
+    # session runs in UTC so the cast is value-preserving
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qn = _run_stream(agg, "wincounts", "complete")
+    return (
+        spark.table(qn)
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "event_type", "n")
+        .orderBy("day", "event_type")
+    )
+
+
+def q_streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup (applyInPandasWithState, cuckoo blob as
+    group state) over the events stream: one emitted row per first-seen
+    user_id. f=32 makes the false-positive drop odds ~2⁻³¹ per key, so
+    the count equals COUNT(DISTINCT user_id) (deterministic either way)."""
+    from cuckoo_filter_spark.streaming.dedup import streaming_dedup
+
+    _ensure_package(spark)
+    stream = _stream_source(spark, sf_dir, "events").select("event_id", "user_id")
+    dd = streaming_dedup(stream, "user_id", num_shards=8,
+                         shard_capacity=1 << 17, bits_per_item=32)
+    qn = _run_stream(dd, "sdedup", "append")
+    return spark.table(qn).agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-user estimate (approximate — rows-only check; the
     pytest suite pins the 4σ error bound vs exact)."""
@@ -476,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "set_ops": q_set_ops,
         "sharded_semi_join": q_sharded_semi_join,
+        "streaming_window_counts": q_streaming_window_counts,
+        "streaming_dedup_users": q_streaming_dedup_users,
         # approximate sketches — no SQL oracle (rows-only check);
         # pytest pins the published error bounds instead
         "hll_distinct_estimate": q_hll_distinct_estimate,
@@ -636,6 +708,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p_partkey FROM part WHERE p_retailprice > 990)
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "streaming_window_counts": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY day, event_type
+        """,
+        "streaming_dedup_users": """
+            SELECT COUNT(DISTINCT user_id) AS n_users FROM events
         """,
         "set_ops": """
             WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),

@@ -24,7 +24,9 @@ def duck01():
                                   "minhash_dedup", "simhash_dedup",
                                   "distinct_users", "grouped_lang_distinct",
                                   "grouped_incremental_dedup",
-                                  "near_dup_clusters", "content_hash_dedup"])
+                                  "near_dup_clusters", "content_hash_dedup",
+                                  "streaming_window_counts",
+                                  "streaming_dedup_users"])
 def test_scale_sensitive_queries_at_sf01(name, spark, duck01):
     df = em.queries()[name](spark, SF_DIR)
     got = sorted(tuple(r) for r in df.collect())
