@@ -76,6 +76,56 @@ def main() -> None:
     sections.append(("window top-n: group-limit pushdown + 2-phase agg + pruned scan",
                      ok, p))
 
+    # 5. grouped distinct: two-phase — ONE data exchange (the
+    # (group, key) repartition) feeding MapInPandas partials, then the
+    # tiny partial-count aggregation; scan pruned to the two columns
+    from cuckoo_filter_spark.operators.grouped import grouped_distinct_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    gd = grouped_distinct_count(docs, "lang", "text")
+    p = plan_of(gd)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    read_cols = sorted(c.split(":")[0] for c in rs.group(1).split(",")) if rs else []
+    ok = (
+        "MapInPandas" in p
+        and read_cols == ["lang", "text"]
+        # exactly 2 exchanges: the (group,key) repartition + the final agg
+        and len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    )
+    sections.append(("grouped distinct: repartition + MapInPandas partials "
+                     "+ JVM sum, pruned scan", ok, p))
+
+    # 6. beyond-broadcast sharded probe: cogroup (one probe-side shuffle
+    # keyed by shard), no BroadcastExchange of blobs
+    from cuckoo_filter_spark.operators.sharded import (
+        build_sharded_cuckoo_filter,
+        sharded_might_contain_join,
+    )
+
+    parts = spark.read.parquet(f"{SF}/part.parquet")
+    build = build_sharded_cuckoo_filter(parts, "p_partkey", num_shards=8)
+    shards_df = spark.createDataFrame(
+        [(int(s), bytearray(b)) for s, b in build.blobs.items()],
+        "shard int, blob binary")
+    probed = sharded_might_contain_join(
+        li.select("l_partkey"), "l_partkey", build, shards_df=shards_df)
+    p = plan_of(probed)
+    ok = ("FlatMapCoGroupsInPandas" in p
+          and "BroadcastExchange" not in p)
+    sections.append(("sharded cogroup probe: FlatMapCoGroupsInPandas, "
+                     "no blob broadcast", ok, p))
+
+    # 7. anti join: definite non-members bypass (Union of the bypass
+    # branch and the broadcast LeftAnti verification of maybe-members)
+    from cuckoo_filter_spark.operators.query import cuckoo_anti_join
+
+    anti = cuckoo_anti_join(li.select("l_orderkey"), "l_orderkey",
+                            orders, "o_orderkey")
+    p = plan_of(anti)
+    ok = "Union" in p and "LeftAnti" in p
+    sections.append(("anti join: non-member bypass Union + exact LeftAnti",
+                     ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
