@@ -37,6 +37,7 @@ from cuckoo_filter_spark.params import (
     MAX_CUCKOO_KICKS,
     TABLE_PACKED,
     TABLE_SINGLE,
+    TABLE_VACUUM,
     CuckooParams,
 )
 
@@ -102,7 +103,7 @@ class CuckooKernel:
     def fingerprints(self, items) -> tuple[np.ndarray, np.ndarray]:
         """Batch of keys → (index, tag) arrays."""
         h = metro64_batch(items)
-        return split_hash(h, self.params.num_buckets, self.params.bits_per_item)
+        return self.params.split(h)
 
     # ------------------------------------------------------------------
     # insert
@@ -245,7 +246,7 @@ class CuckooKernel:
                 # claimed by this round's evictor)
 
                 if movers.size:
-                    cur_i[movers] = alt_index(cur_i[movers], cur_t[movers], nb)
+                    cur_i[movers] = self.params.alt(cur_i[movers], cur_t[movers])
                     attempts[movers] += 1
                 if evict_cand.size:
                     self.kicks += int(evict_cand.size)
@@ -254,7 +255,7 @@ class CuckooKernel:
                     old = slots[eb, r].copy()
                     slots[eb, r] = cur_t[evict_cand]
                     cur_t[evict_cand] = old
-                    cur_i[evict_cand] = alt_index(eb, old, nb)
+                    cur_i[evict_cand] = self.params.alt(eb, old)
                     attempts[evict_cand] += 1
                     evicted[evict_cand] = True
 
@@ -306,7 +307,7 @@ class CuckooKernel:
         slots = self.slots
         tag = np.uint32(cur_t[e])
         bi = int(cur_i[e])
-        alt = int(alt_index(cur_i[e:e + 1], cur_t[e:e + 1], nb)[0])
+        alt = int(self.params.alt(cur_i[e:e + 1], cur_t[e:e + 1])[0])
         for bucket in (bi, alt):
             for s in range(b):
                 t = slots[bucket, s]
@@ -335,7 +336,7 @@ class CuckooKernel:
         """Vectorized Contain (cuckoofilter.go:178-188)."""
         if len(idx) == 0:
             return np.zeros(0, dtype=bool)
-        i2 = alt_index(idx, tag, self.params.num_buckets)
+        i2 = self.params.alt(idx, tag)
         t = tag[:, None]
         found = (self.slots[idx] == t).any(axis=1) | (self.slots[i2] == t).any(axis=1)
         if self.victim_used:
@@ -374,9 +375,8 @@ class CuckooKernel:
     def _delete_vectorized(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         n = len(idx)
         out = np.zeros(n, dtype=bool)
-        nb = self.params.num_buckets
         b = self.params.tags_per_bucket
-        i2 = alt_index(idx, tag, nb)
+        i2 = self.params.alt(idx, tag)
         canon = self.canonical_pair(idx, tag)
         order = np.argsort(canon, kind="stable")
         sc = canon[order]
@@ -422,11 +422,11 @@ class CuckooKernel:
     def _delete_sequential(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         n = len(idx)
         out = np.zeros(n, dtype=bool)
-        nb = self.params.num_buckets
         for k in range(n):
             i1 = int(idx[k])
             t = np.uint32(tag[k])
-            i2 = int(alt_index(np.array([i1]), np.array([t], dtype=np.uint32), nb)[0])
+            i2 = int(self.params.alt(np.array([i1]),
+                                     np.array([t], dtype=np.uint32))[0])
             deleted = False
             for i in (i1, i2):
                 js = np.nonzero(self.slots[i] == t)[0]
@@ -546,7 +546,7 @@ class CuckooKernel:
 
     def canonical_pair(self, bi: np.ndarray, tags: np.ndarray) -> np.ndarray:
         """Orientation-independent id of (candidate pair, tag)."""
-        alt = alt_index(bi, tags, self.params.num_buckets)
+        alt = self.params.alt(bi, tags)
         canon = np.minimum(bi, alt).astype(np.uint64) << np.uint64(32)
         return canon | tags.astype(np.uint64)
 
@@ -591,6 +591,11 @@ class CuckooKernel:
         if p.table_type == TABLE_PACKED:
             table = struct.pack("<BBI", TABLE_PACKED, p.bits_per_item, p.num_buckets)
             table += bitpack.pack_packed(self.slots, p.bits_per_item)
+        elif p.table_type == TABLE_VACUUM:
+            # our extension: not a Go layout (num_buckets isn't pow2)
+            table = struct.pack("<BBBII", TABLE_VACUUM, p.tags_per_bucket,
+                                p.bits_per_item, p.num_buckets, p.chunk_buckets)
+            table += bitpack.pack_single(self.slots, p.bits_per_item)
         else:
             table = struct.pack(
                 "<BBBI", TABLE_SINGLE, p.tags_per_bucket, p.bits_per_item, p.num_buckets
@@ -608,6 +613,10 @@ class CuckooKernel:
             f, nb = struct.unpack_from("<BI", data, 14)
             params = CuckooParams(4, f, nb, TABLE_PACKED)
             slots = bitpack.unpack_packed(data[19:], nb, f)
+        elif table_type == TABLE_VACUUM:
+            b, f, nb, chunk = struct.unpack_from("<BBII", data, 14)
+            params = CuckooParams(b, f, nb, TABLE_VACUUM, chunk)
+            slots = bitpack.unpack_single(data[24:], nb, b, f)
         else:
             b, f, nb = struct.unpack_from("<BBI", data, 14)
             params = CuckooParams(b, f, nb, TABLE_SINGLE)
@@ -631,14 +640,14 @@ class CuckooKernel:
         from cuckoo_filter_spark.hashing import metro64_flat
 
         h = metro64_flat(members.reshape(-1), lens)
-        idx, tag = split_hash(h, self.params.num_buckets, self.params.bits_per_item)
+        idx, tag = self.params.split(h)
         try:
             self.add_hashed(idx, tag)
         except FilterFullError:
             pass
         probes = (np.arange(rounds, dtype=np.int64) + n + 1).astype(">u4")
         hp = metro64_flat(probes.view(np.uint8), np.full(rounds, 4, dtype=np.int64))
-        pi, pt = split_hash(hp, self.params.num_buckets, self.params.bits_per_item)
+        pi, pt = self.params.split(hp)
         fp = float(self.contain_hashed(pi, pt).mean())
         self.reset()
         return fp
@@ -683,6 +692,15 @@ class CuckooProbe:
                     data, dtype=dt, count=nb * b, offset=20).reshape(nb, b)
                 self.zero_copy = True
                 return
+        if table_type == TABLE_VACUUM:
+            b, f, nb, chunk = struct.unpack_from("<BBII", data, 14)
+            if f in (8, 16, 32):
+                dt = {8: "<u1", 16: "<u2", 32: "<u4"}[f]
+                self.params = CuckooParams(b, f, nb, TABLE_VACUUM, chunk)
+                self.slots = np.frombuffer(
+                    data, dtype=dt, count=nb * b, offset=24).reshape(nb, b)
+                self.zero_copy = True
+                return
         kern = CuckooKernel.from_bytes(data)
         self.params = kern.params
         self.slots = kern.slots
@@ -691,7 +709,7 @@ class CuckooProbe:
     def contain_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         if len(idx) == 0:
             return np.zeros(0, dtype=bool)
-        i2 = alt_index(idx, tag, self.params.num_buckets)
+        i2 = self.params.alt(idx, tag)
         t = tag[:, None]  # == upcasts the narrow view dtype; values < 2^f
         found = (self.slots[idx] == t).any(axis=1) | (self.slots[i2] == t).any(axis=1)
         if self.victim_used:
@@ -702,5 +720,5 @@ class CuckooProbe:
 
     def contain(self, items) -> np.ndarray:
         h = metro64_batch(items)
-        idx, tag = split_hash(h, self.params.num_buckets, self.params.bits_per_item)
+        idx, tag = self.params.split(h)
         return self.contain_hashed(idx, tag)

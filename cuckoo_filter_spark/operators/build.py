@@ -41,8 +41,8 @@ import numpy as np
 import pandas as pd
 
 from cuckoo_filter_spark.hashing import metro64_batch
-from cuckoo_filter_spark.kernel.filter import CuckooKernel, alt_index, split_hash
-from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
+from cuckoo_filter_spark.kernel.filter import CuckooKernel
+from cuckoo_filter_spark.params import TABLE_SINGLE, TABLE_VACUUM, CuckooParams
 
 BUILD_SCHEMA = (
     "partition_id int, rows bigint, stored bigint, distinct_keys bigint, "
@@ -133,8 +133,6 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
     within the partition (and globally exact under ``unique_global``
     co-location). Memory: one set of the partition's distinct keys."""
 
-    nb, f = params.num_buckets, params.bits_per_item
-
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
@@ -151,13 +149,13 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
             rows += len(keys)
             if seen is not None:
                 seen.update(keys.drop_duplicates().tolist())
-            idx, tag = split_hash(hashes_of(keys, hash_fn), nb, f)
+            idx, tag = params.split(hashes_of(keys, hash_fn))
             bis.append(idx)
             tgs.append(tag)
         bi = np.concatenate(bis) if bis else np.zeros(0, dtype=np.int64)
         tags = np.concatenate(tgs) if tgs else np.zeros(0, dtype=np.uint32)
         if unique and len(bi):
-            alt = alt_index(bi, tags, nb)
+            alt = params.alt(bi, tags)
             canon = (np.minimum(bi, alt).astype(np.uint64) << np.uint64(32)) | tags
             _, first = np.unique(canon, return_index=True)
             first = np.sort(first)
@@ -335,9 +333,13 @@ def build_cuckoo_filter(
     if params is None and not deferred:
         if capacity is None:
             capacity = sel.count()  # table partials need upfront params
-        params = CuckooParams.for_capacity(
-            max(int(capacity * headroom), 64), tags_per_bucket, bits_per_item, table_type
-        )
+        hint = max(int(capacity * headroom), 64)
+        if table_type == TABLE_VACUUM:
+            params = CuckooParams.for_capacity_vacuum(
+                hint, tags_per_bucket, bits_per_item)
+        else:
+            params = CuckooParams.for_capacity(
+                hint, tags_per_bucket, bits_per_item, table_type)
 
     if mode == "unique_global":
         from pyspark.sql import functions as F
@@ -371,11 +373,15 @@ def build_cuckoo_filter(
         h = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
         if unique and len(h):
             h = np.unique(h)
-        params = CuckooParams.for_capacity(
-            max(int(len(h) * headroom), 64), tags_per_bucket, bits_per_item,
-            table_type)
+        params = (CuckooParams.for_capacity_vacuum(
+                      max(int(len(h) * headroom), 64), tags_per_bucket,
+                      bits_per_item)
+                  if table_type == TABLE_VACUUM else
+                  CuckooParams.for_capacity(
+                      max(int(len(h) * headroom), 64), tags_per_bucket,
+                      bits_per_item, table_type))
         merged = CuckooKernel(params)
-        idx, tag = split_hash(h, params.num_buckets, params.bits_per_item)
+        idx, tag = params.split(h)
         merged.insert_pairs(idx, tag, dedupe=unique)
         return CuckooBuild(params=params, blob=merged.to_bytes(),
                            metrics=metrics, hash_fn=hash_fn)

@@ -4,6 +4,19 @@ Replicates the reference's capacity planning exactly:
 numBuckets = nextPow2(maxNumKeys/b), doubled once if projected load
 exceeds maxLoadFactor(b), min 1 (reference: cuckoofilter.go:74-81,
 util.go:16-37).
+
+layout='vacuum' is OUR space-efficiency extension (Vacuum Filters,
+VLDB 2019 — PAPERS.md): the table no longer rounds up to a power of
+two. Buckets are grouped into power-of-two CHUNKS; the alternate bucket
+is idx ⊕ (H(tag) mod L) with L a per-tag range from {chunk, chunk/2,
+chunk/4, chunk/8} (selected by tag's low bits — the paper's multi-range
+trick keeps enough randomness for high load while small ranges keep the
+size granularity at one chunk). XOR within an aligned power-of-two
+block is still an involution and never leaves [0, num_buckets) because
+every range divides the chunk, which divides num_buckets. Net effect:
+num_buckets = ceil(need/chunk)·chunk instead of nextPow2(need) — up to
+~2× (avg ~1.33×) smaller tables at equal load target. Vacuum blobs use
+our own header (table_type=2) and are NOT Go-layout cross-decodable.
 """
 
 from __future__ import annotations
@@ -12,8 +25,11 @@ from dataclasses import dataclass
 
 TABLE_SINGLE = 0  # cuckoofilter.go:23
 TABLE_PACKED = 1  # cuckoofilter.go:25
+TABLE_VACUUM = 2  # our extension (vacuum layout, single-table packing)
 
 MAX_CUCKOO_KICKS = 500  # cuckoofilter.go:19
+
+_MURMUR_C = 0x5BD1E995  # shared with alt_index (cuckoofilter.go:105-108)
 
 
 def next_pow2(n: int) -> int:
@@ -32,6 +48,17 @@ def max_load_factor(tags_per_bucket: int) -> float:
     return 0.99
 
 
+def vacuum_target_load(chunk_buckets: int, tags_per_bucket: int) -> float:
+    """Safe sizing load for the vacuum layout: the kick walk cannot
+    leave its chunk, so achievable load depends on chunk size (empirical
+    on this kernel, with margin; pinned by test_vacuum load tests)."""
+    base = max_load_factor(tags_per_bucket)
+    if chunk_buckets >= 2048:
+        return min(base, 0.95)
+    table = {1024: 0.92, 512: 0.90, 256: 0.86}
+    return min(base, table.get(chunk_buckets, 0.82))
+
+
 @dataclass(frozen=True)
 class CuckooParams:
     """Immutable filter configuration, broadcastable to executors.
@@ -46,12 +73,22 @@ class CuckooParams:
     bits_per_item: int
     num_buckets: int
     table_type: int = TABLE_SINGLE
+    chunk_buckets: int = 0  # vacuum layout only (power of two, ≥ 8)
 
     def __post_init__(self) -> None:
-        if self.num_buckets & (self.num_buckets - 1) or self.num_buckets <= 0:
-            raise ValueError(f"num_buckets must be a power of two, got {self.num_buckets}")
         if not (2 <= self.bits_per_item <= 32):
             raise ValueError(f"bits_per_item must be in [2, 32], got {self.bits_per_item}")
+        if self.table_type == TABLE_VACUUM:
+            c = self.chunk_buckets
+            if c < 8 or c & (c - 1):
+                raise ValueError(f"vacuum chunk_buckets must be a power of two ≥ 8, got {c}")
+            if self.num_buckets <= 0 or self.num_buckets % c:
+                raise ValueError(
+                    f"vacuum num_buckets must be a positive multiple of "
+                    f"chunk_buckets={c}, got {self.num_buckets}")
+            return
+        if self.num_buckets & (self.num_buckets - 1) or self.num_buckets <= 0:
+            raise ValueError(f"num_buckets must be a power of two, got {self.num_buckets}")
         if self.table_type == TABLE_PACKED:
             if self.tags_per_bucket != 4:
                 raise ValueError("packed table requires tags_per_bucket=4")
@@ -75,6 +112,33 @@ class CuckooParams:
             num_buckets <<= 1
         return cls(b, bits_per_item, num_buckets, table_type)
 
+    @classmethod
+    def for_capacity_vacuum(
+        cls,
+        max_num_keys: int,
+        tags_per_bucket: int = 4,
+        bits_per_item: int = 16,
+        chunk_buckets: int | None = None,
+    ) -> "CuckooParams":
+        """Vacuum sizing: num_buckets rounds up to ONE chunk, not the
+        next power of two — the whole point of the layout.
+
+        The kick random walk is confined to a chunk, so the achievable
+        load grows with chunk size (measured on this kernel: ~0.88 at
+        256 buckets up to ~0.96 at 4096 — the paper's range-selection
+        effect). Auto-chunking picks ~need/8 clamped to [256, 4096]:
+        large tables (where space matters) get chunk 4096 → granularity
+        ≤ 0.1 % and a 0.95 load target; small tables trade a lower load
+        target for fine granularity, still beating nextPow2 rounding."""
+        b = tags_per_bucket
+        if chunk_buckets is None:
+            rough = max(int(max_num_keys / (b * 0.95)) + 1, 8)
+            chunk_buckets = min(4096, max(256, next_pow2(max(rough // 8, 1))))
+        target = vacuum_target_load(chunk_buckets, b)
+        need = max(int(max_num_keys / (b * target)) + 1, chunk_buckets)
+        num_buckets = ((need + chunk_buckets - 1) // chunk_buckets) * chunk_buckets
+        return cls(b, bits_per_item, num_buckets, TABLE_VACUUM, chunk_buckets)
+
     @property
     def size_in_tags(self) -> int:
         return self.tags_per_bucket * self.num_buckets
@@ -93,3 +157,36 @@ class CuckooParams:
             bits_per_bucket = (self.bits_per_item - 1) * 4
             return ((bits_per_bucket * self.num_buckets + 7) >> 3) + 7
         return (self.bits_per_item * self.tags_per_bucket * self.num_buckets + 7) >> 3
+
+    # -- layout-aware hashing (numpy, vectorized) ------------------------
+    def split(self, h):
+        """uint64 hashes → (index int64[:], tag uint32[:]). Reference
+        split for pow2 layouts (cuckoofilter.go:89-103); vacuum indexes
+        by modulo (num_buckets is not a power of two)."""
+        import numpy as np
+
+        hi = (h >> np.uint64(32)).astype(np.uint32)
+        lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        if self.table_type == TABLE_VACUUM:
+            idx = (hi.astype(np.uint64) % np.uint64(self.num_buckets)).astype(np.int64)
+        else:
+            idx = (hi & np.uint32(self.num_buckets - 1)).astype(np.int64)
+        f = self.bits_per_item
+        tag_mod = np.uint64((1 << f) - 1) if f < 32 else np.uint64(0xFFFFFFFF)
+        tag = (lo % tag_mod + np.uint64(1)).astype(np.uint32)
+        return idx, tag
+
+    def alt(self, idx, tag):
+        """Involution: alt(alt(i,t),t) == i for both layouts. Vacuum XORs
+        within a per-tag power-of-two range ∈ {chunk .. chunk/8} — every
+        range divides the chunk divides num_buckets, so the result stays
+        in [0, num_buckets) without needing a pow2 table."""
+        import numpy as np
+
+        t = tag.astype(np.uint32)
+        if self.table_type == TABLE_VACUUM:
+            range_m1 = (np.uint32(self.chunk_buckets) >> (t & np.uint32(3))) - np.uint32(1)
+            delta = (t * np.uint32(_MURMUR_C)) & range_m1
+            return (idx.astype(np.uint32) ^ delta).astype(np.int64)
+        v = idx.astype(np.uint32) ^ (t * np.uint32(_MURMUR_C))
+        return (v & np.uint32(self.num_buckets - 1)).astype(np.int64)

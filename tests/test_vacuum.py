@@ -1,0 +1,127 @@
+"""Vacuum-filter layout (our space-efficiency extension; Vacuum Filters,
+VLDB 2019 — PAPERS.md): non-power-of-two tables with chunked XOR
+alternates. Involution, load, membership/delete, serialization, probe
+parity, Spark build path, space savings vs pow2 sizing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.kernel.filter import (
+    CuckooKernel,
+    CuckooProbe,
+    FilterFullError,
+)
+from cuckoo_filter_spark.params import (
+    TABLE_VACUUM,
+    CuckooParams,
+    vacuum_target_load,
+)
+
+
+def test_vacuum_alt_is_involution_and_in_range():
+    p = CuckooParams(4, 16, 6144, TABLE_VACUUM, 2048)
+    rng = np.random.default_rng(5)
+    h = rng.integers(0, 2**64, 200_000, dtype=np.uint64)
+    idx, tag = p.split(h)
+    assert idx.min() >= 0 and idx.max() < p.num_buckets
+    alt = p.alt(idx, tag)
+    assert alt.min() >= 0 and alt.max() < p.num_buckets
+    back = p.alt(alt, tag)
+    assert np.array_equal(back, idx), "alt is not an involution"
+    # alternates stay within the tag's chunk-aligned block
+    assert (idx // 2048 == alt // 2048).all()
+
+
+def test_vacuum_sizing_not_pow2_and_saves_space():
+    savings = []
+    for n in (5_000, 20_000, 70_000, 90_000, 400_000, 3_000_000):
+        pv = CuckooParams.for_capacity_vacuum(n, 4, 16)
+        pc = CuckooParams.for_capacity(n, 4, 16)
+        assert pv.size_in_bytes() <= pc.size_in_bytes()
+        savings.append(1 - pv.size_in_bytes() / pc.size_in_bytes())
+    assert max(savings) > 0.25, savings  # just-above-pow2 capacities win big
+    assert sum(savings) / len(savings) > 0.10, savings
+
+
+@pytest.mark.parametrize("n", [5_000, 60_000])
+def test_vacuum_holds_sized_capacity(n):
+    """A vacuum filter sized for n keys must accept n keys (the sizing
+    target intentionally sits below the chunk's achievable load)."""
+    p = CuckooParams.for_capacity_vacuum(n, 4, 16)
+    kern = CuckooKernel(p)
+    rng = np.random.default_rng(n)
+    keys = [rng.bytes(24) for _ in range(n)]
+    ok = kern.add_unique(keys)
+    # the only rejections allowed are canon-space duplicates
+    # (E ≈ n²/(2·nb·2^f) ≈ 2 here) — they still probe as present
+    assert int((~ok).sum()) <= 10
+    assert kern.contain(keys).all(), "false negative"
+
+
+def test_vacuum_achievable_load_meets_target():
+    """Load at first insert failure ≥ the sizing target for the chunk
+    (the empirical table in vacuum_target_load has margin)."""
+    p = CuckooParams(4, 16, 6144, TABLE_VACUUM, 2048)
+    kern = CuckooKernel(p)
+    rng = np.random.default_rng(1)
+    try:
+        for _ in range(0, 2 * p.size_in_tags, 256):
+            if not kern.add([rng.bytes(32) for _ in range(256)]).all():
+                break
+    except FilterFullError:
+        pass
+    assert kern.load_factor() >= vacuum_target_load(2048, 4), kern.load_factor()
+
+
+def test_vacuum_delete_and_fp_bound():
+    p = CuckooParams.for_capacity_vacuum(20_000, 4, 16)
+    kern = CuckooKernel(p)
+    rng = np.random.default_rng(2)
+    keys = [rng.bytes(16) for _ in range(15_000)]
+    ok = kern.add(keys)
+    assert ok.all()
+    # FP bound ≈ 2b·load/2^f — assert within 4× of the sizing-rule bound
+    probes = [b"absent%d" % i for i in range(200_000)]
+    fp = kern.contain(probes).mean()
+    assert fp <= 4 * (2 * 4 / 2**16), fp
+    deleted = kern.delete(keys)
+    assert deleted.all()
+    assert kern.size() == 0
+
+
+def test_vacuum_serialization_and_probe_parity():
+    p = CuckooParams.for_capacity_vacuum(8_000, 4, 16)
+    kern = CuckooKernel(p)
+    rng = np.random.default_rng(3)
+    keys = [rng.bytes(20) for _ in range(8_000)]
+    kern.add(keys)
+    blob = kern.to_bytes()
+    k2 = CuckooKernel.from_bytes(blob)
+    assert k2.to_bytes() == blob
+    assert k2.params == p
+    assert k2.contain(keys).all()
+    probe = CuckooProbe(blob)
+    assert probe.zero_copy  # f=16 aligned view works for vacuum too
+    queries = keys + [b"nope%d" % i for i in range(50_000)]
+    assert np.array_equal(probe.contain(queries), kern.contain(queries))
+
+
+def test_vacuum_spark_build_and_semi_join(spark):
+    """Vacuum layout through the distributed build + broadcast probe:
+    exact semi-join result must match a plain join."""
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.query import cuckoo_semi_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    hi = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").where(
+        F.col("o_totalprice") > 300000)
+    n = hi.count()
+    build = build_cuckoo_filter(hi, "o_orderkey", capacity=n,
+                                table_type=TABLE_VACUUM)
+    assert build.params.table_type == TABLE_VACUUM
+    got = cuckoo_semi_join(li, "l_orderkey", hi, "o_orderkey", build=build)
+    want = li.join(hi.select("o_orderkey").dropDuplicates(),
+                   li["l_orderkey"] == F.col("o_orderkey"), "left_semi")
+    assert got.count() == want.count()
+    assert got.select("l_orderkey").subtract(want.select("l_orderkey")).count() == 0
