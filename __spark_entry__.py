@@ -88,6 +88,27 @@ def q_cuckoo_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vacuum_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same prune→verify semi join through the VACUUM layout (our
+    space-efficiency extension: non-pow2 table, chunked XOR alternates;
+    ~25% smaller filter at equal FP target)."""
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.query import cuckoo_semi_join
+    from cuckoo_filter_spark.params import TABLE_VACUUM
+
+    li = _t(spark, sf_dir, "lineitem")
+    hi = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    build = build_cuckoo_filter(hi, "o_orderkey", capacity=hi.count(),
+                                table_type=TABLE_VACUUM)
+    joined = cuckoo_semi_join(li, "l_orderkey", hi, "o_orderkey", build=build)
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct count via key-partitioned unique build: duplicates
     co-locate after repartition(key), so partition-local RAW-key dedupe
@@ -529,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cuckoo_semi_join": q_cuckoo_semi_join,
         "cuckoo_anti_join": q_cuckoo_anti_join,
+        "vacuum_semi_join": q_vacuum_semi_join,
         "distinct_users": q_distinct_users,
         "incremental_dedup": q_incremental_dedup,
         "grouped_lang_distinct": q_grouped_lang_distinct,
@@ -577,6 +599,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "vacuum_semi_join": """
+            SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "distinct_users": "SELECT COUNT(DISTINCT user_id) AS n_users FROM events",
         "incremental_dedup": """
