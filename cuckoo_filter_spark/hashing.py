@@ -169,13 +169,29 @@ def to_flat_bytes(items) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _pad_rows(flat: np.ndarray, lens: np.ndarray, pad: int = 8) -> np.ndarray:
-    """Ragged → dense 2D uint8 [n, maxlen+pad] (zero padded, 8-byte aligned)."""
+    """Ragged → dense 2D uint8 [n, maxlen+pad] (zero padded, 8-byte aligned).
+
+    Copy strategy: one fancy gather per distinct LENGTH CLASS (url-ish
+    workloads have a handful) — measured ~2× faster than the boolean-
+    mask assignment, which the many-classes case falls back to."""
     n = len(lens)
     maxlen = int(lens.max()) if n else 0
     width = maxlen + pad
     width += (-width) % 8  # keep row width a multiple of 8 for u64 views
     buf = np.zeros((n, width), dtype=np.uint8)
-    if maxlen:
+    if not maxlen:
+        return buf
+    uls = np.unique(lens)
+    if len(uls) <= 64:
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        for L in uls:
+            if L == 0:
+                continue
+            rr = np.nonzero(lens == L)[0]
+            src = starts[rr][:, None] + np.arange(int(L))
+            buf[rr, :int(L)] = flat[src]
+    else:
         mask = np.arange(maxlen) < lens[:, None]
         buf[:, :maxlen][mask] = flat
     return buf
@@ -186,6 +202,23 @@ def _gather_u64(buf: np.ndarray, rows: np.ndarray, off: np.ndarray, nbytes: int)
     j = off[:, None] + np.arange(nbytes)
     b = buf[rows[:, None], j].astype(np.uint64)
     return (b << _SHIFTS8[:nbytes]).sum(axis=1, dtype=np.uint64)
+
+
+def _read_u64_at(u64buf: np.ndarray, rows: np.ndarray, off: np.ndarray,
+                 nbytes: int) -> np.ndarray:
+    """Little-endian read of `nbytes` bytes at per-row byte offsets via
+    TWO aligned u64 lane loads + shift-combine (the row pad guarantees
+    lane+1 exists) — replaces the per-byte gather of _gather_u64
+    (~4× fewer gathered elements for 8-byte reads)."""
+    lane = (off >> 3).astype(np.int64)
+    sh = ((off.astype(np.uint64) & _U64(7)) * _U64(8))
+    lo = u64buf[rows, lane]
+    hi = u64buf[rows, lane + 1]
+    w = (lo >> sh) | np.where(sh == 0, _U64(0),
+                              hi << ((_U64(64) - sh) & _U64(63)))
+    if nbytes < 8:
+        w = w & _U64((1 << (8 * nbytes)) - 1)
+    return w
 
 
 def metro64_batch(items, seed: int = DEFAULT_SEED) -> np.ndarray:
@@ -217,30 +250,39 @@ def _metro64_flat_masked(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT
     has_blocks = lens >= 32
     if has_blocks.any():
         rows = np.nonzero(has_blocks)[0]
-        v = np.repeat(h[None, :], 4, axis=0).copy()  # v0..v3 (only block rows used)
         nblocks = (lens[rows] // 32).astype(np.int64)
         maxb = int(nblocks.max())
-        for blk in range(maxb):
-            act = nblocks > blk
-            r = rows[act]
-            lane0 = (blk * 32) // 8
-            w0 = u64buf[r, lane0]
-            w1 = u64buf[r, lane0 + 1]
-            w2 = u64buf[r, lane0 + 2]
-            w3 = u64buf[r, lane0 + 3]
-            v0 = v[0, r] + w0 * _NK0
-            v0 = _rotr_np(v0, 29) + v[2, r]
-            v1 = v[1, r] + w1 * _NK1
-            v1 = _rotr_np(v1, 29) + v[3, r]
-            v2 = v[2, r] + w2 * _NK2
-            v2 = _rotr_np(v2, 29) + v0
-            v3 = v[3, r] + w3 * _NK3
-            v3 = _rotr_np(v3, 29) + v1
-            v[0, r] = v0
-            v[1, r] = v1
-            v[2, r] = v2
-            v[3, r] = v3
-        v0, v1, v2, v3 = v[0, rows], v[1, rows], v[2, rows], v[3, rows]
+        if maxb == 1:
+            # url-length fast path: every block row has exactly one block
+            # → no (4, n) state array, no per-round gather/scatter
+            hr = h[rows]
+            v0 = _rotr_np(hr + u64buf[rows, 0] * _NK0, 29) + hr
+            v1 = _rotr_np(hr + u64buf[rows, 1] * _NK1, 29) + hr
+            v2 = _rotr_np(hr + u64buf[rows, 2] * _NK2, 29) + v0
+            v3 = _rotr_np(hr + u64buf[rows, 3] * _NK3, 29) + v1
+        else:
+            v = np.repeat(h[None, :], 4, axis=0).copy()  # v0..v3
+            for blk in range(maxb):
+                act = nblocks > blk
+                r = rows[act]
+                lane0 = (blk * 32) // 8
+                w0 = u64buf[r, lane0]
+                w1 = u64buf[r, lane0 + 1]
+                w2 = u64buf[r, lane0 + 2]
+                w3 = u64buf[r, lane0 + 3]
+                b0 = v[0, r] + w0 * _NK0
+                b0 = _rotr_np(b0, 29) + v[2, r]
+                b1 = v[1, r] + w1 * _NK1
+                b1 = _rotr_np(b1, 29) + v[3, r]
+                b2 = v[2, r] + w2 * _NK2
+                b2 = _rotr_np(b2, 29) + b0
+                b3 = v[3, r] + w3 * _NK3
+                b3 = _rotr_np(b3, 29) + b1
+                v[0, r] = b0
+                v[1, r] = b1
+                v[2, r] = b2
+                v[3, r] = b3
+            v0, v1, v2, v3 = v[0, rows], v[1, rows], v[2, rows], v[3, rows]
         v2 = v2 ^ (_rotr_np((v0 + v3) * _NK0 + v1, 37) * _NK1)
         v3 = v3 ^ (_rotr_np((v1 + v2) * _NK1 + v0, 37) * _NK0)
         v0 = v0 ^ (_rotr_np((v0 + v2) * _NK0 + v3, 37) * _NK1)
@@ -253,8 +295,8 @@ def _metro64_flat_masked(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT
     m = remaining >= 16
     if m.any():
         r = np.nonzero(m)[0]
-        w0 = _gather_u64(buf, r, off[r], 8)
-        w1 = _gather_u64(buf, r, off[r] + 8, 8)
+        w0 = _read_u64_at(u64buf, r, off[r], 8)
+        w1 = _read_u64_at(u64buf, r, off[r] + 8, 8)
         v0 = h[r] + w0 * _NK2
         v0 = _rotr_np(v0, 29) * _NK3
         v1 = h[r] + w1 * _NK2
@@ -269,7 +311,7 @@ def _metro64_flat_masked(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT
     m = remaining >= 8
     if m.any():
         r = np.nonzero(m)[0]
-        h[r] = h[r] + _gather_u64(buf, r, off[r], 8) * _NK3
+        h[r] = h[r] + _read_u64_at(u64buf, r, off[r], 8) * _NK3
         off[r] += 8
         remaining[r] -= 8
         h[r] = h[r] ^ (_rotr_np(h[r], 55) * _NK1)
@@ -278,7 +320,7 @@ def _metro64_flat_masked(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT
     m = remaining >= 4
     if m.any():
         r = np.nonzero(m)[0]
-        h[r] = h[r] + _gather_u64(buf, r, off[r], 4) * _NK3
+        h[r] = h[r] + _read_u64_at(u64buf, r, off[r], 4) * _NK3
         h[r] = h[r] ^ (_rotr_np(h[r], 26) * _NK1)
         off[r] += 4
         remaining[r] -= 4
@@ -287,7 +329,7 @@ def _metro64_flat_masked(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT
     m = remaining >= 2
     if m.any():
         r = np.nonzero(m)[0]
-        h[r] = h[r] + _gather_u64(buf, r, off[r], 2) * _NK3
+        h[r] = h[r] + _read_u64_at(u64buf, r, off[r], 2) * _NK3
         off[r] += 2
         remaining[r] -= 2
         h[r] = h[r] ^ (_rotr_np(h[r], 48) * _NK1)
