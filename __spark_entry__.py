@@ -445,7 +445,11 @@ def _run_stream(df_stream, query_name: str, output_mode: str):
         .option("checkpointLocation", ck)
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {qn} did not drain in 300s — the memory "
+            f"sink would be partial (silent undercounts)")
     return qn
 
 
@@ -455,9 +459,11 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     window agg → memory sink run (availableNow), returned as a batch
     frame. Complete output mode ⇒ every window emitted, exact counts."""
     _ensure_package(spark)
+    # daily windows bucket in the SESSION timezone; pin it to UTC so the
+    # NTZ→TIMESTAMP cast is value-preserving and the buckets match the
+    # DuckDB oracle's naive date_trunc on any host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = _stream_source(spark, sf_dir, "events")
-    # watermarks require TIMESTAMP (ts is stored as TIMESTAMP_NTZ); the
-    # session runs in UTC so the cast is value-preserving
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", "1 hour")

@@ -159,15 +159,25 @@ class CuckooKernel:
         per-item success mask; once the victim cache fills, later chunks
         are rejected wholesale (reference Add rejects after stash)."""
         ok = np.ones(len(cur_i), dtype=bool)
+        cap = self.params.size_in_tags
         for s in range(0, len(cur_i), chunk):
             if self.victim_used:
                 ok[s:] = False
                 break
             ci, ct = cur_i[s:s + chunk], cur_t[s:s + chunk]
-            snap = (self.slots.copy(), self.num_items, self.kicks)
+            # snapshot only when this chunk could plausibly exhaust a
+            # 500-kick chain (projected load > 75%): an unconditional
+            # full-table copy per 128K-item chunk would make large
+            # builds O(n²/chunk) in memcpy bytes. Below that load a
+            # kick-chain exhaustion is (astronomically) impossible, and
+            # if it somehow happened we still fail loud, not wrong.
+            snap = ((self.slots.copy(), self.num_items, self.kicks)
+                    if (self.num_items + len(ci)) > 0.75 * cap else None)
             try:
                 ok[s:s + chunk] = self._insert_frontier_chunk(ci, ct)
             except FilterFullError:
+                if snap is None:
+                    raise
                 # saturation with interleaved kick chains the batch loop
                 # cannot untangle: restore the chunk-start table and redo
                 # sequentially (single chain in flight → reference

@@ -440,17 +440,39 @@ def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
-def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min", id_col: str = "doc_id") -> DataFrame:
-    """Exact content dedup keeping one representative per fingerprint
-    (min/max id) — two-phase agg, no full-text shuffle: only
-    (fingerprint, id) pairs move."""
+def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
+                          id_col: str = "doc_id", verify: bool = True) -> DataFrame:
+    """Exact content dedup keeping one representative per distinct TEXT
+    (min/max id). Two-phase agg on the 64-bit fingerprint, so the
+    grouping shuffle moves only (fingerprint, id) pairs.
+
+    verify=True (default) makes the result byte-exact under fingerprint
+    collisions (~n²/2⁶⁵ odds, which at 10¹²-row scale is no longer
+    ignorable): rows whose fingerprint matched the representative but
+    whose TEXT differs are restored and deduped exactly among themselves
+    — a collision can never silently merge two distinct texts. The
+    verification join touches only rows of multi-member fingerprint
+    groups (the duplicates being collapsed), never the unique majority."""
     from cuckoo_filter_spark.functions.text import doc_fingerprint_udf
 
     fp = doc_fingerprint_udf()
     agg = F.min if keep == "min" else F.max
     with_fp = df.withColumn("__fp", fp(F.col(text_col)))
     reps = with_fp.groupBy("__fp").agg(agg(F.col(id_col)).alias(id_col))
-    return with_fp.join(reps, [id_col, "__fp"], "left_semi").drop("__fp")
+    kept = with_fp.join(reps, [id_col, "__fp"], "left_semi")
+    if not verify:
+        return kept.drop("__fp")
+    losers = with_fp.join(reps, [id_col, "__fp"], "left_anti")
+    rep_txt = kept.select("__fp", F.col(text_col).alias("__rep_text"))
+    mism = (
+        losers.join(rep_txt, "__fp")
+        .where(F.col(text_col) != F.col("__rep_text"))
+        .drop("__rep_text")
+    )
+    # exact representative per collided text (tiny set; usually empty)
+    fixed_reps = mism.groupBy("__fp", text_col).agg(agg(F.col(id_col)).alias(id_col))
+    fixed = mism.join(fixed_reps, [id_col, "__fp", text_col], "left_semi")
+    return kept.drop("__fp").unionByName(fixed.drop("__fp"))
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from cuckoo_filter_spark.kernel.filter import CuckooKernel, CuckooProbe, split_hash
+from cuckoo_filter_spark.kernel.filter import CuckooKernel, CuckooProbe
 from cuckoo_filter_spark.operators.build import DEFAULT_HEADROOM, hashes_of
 from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
 
@@ -134,7 +134,7 @@ def build_grouped_filters(
             max(int(n_distinct * headroom), 64), tags_per_bucket,
             bits_per_item, table_type)
         kern = CuckooKernel(params)
-        idx, tag = split_hash(h, params.num_buckets, params.bits_per_item)
+        idx, tag = params.split(h)
         stored = kern.insert_pairs(idx, tag, dedupe=True)
         return pd.DataFrame({
             group_col: [pdf[group_col].iloc[0]],
@@ -158,7 +158,9 @@ def grouped_might_contain_udf(spark, filters: DataFrame | dict):
     kernel inside an Arrow-batched pandas UDF. Keys whose group has no
     filter return False (nothing was inserted for that group).
 
-    metro64 builds only (blobs do not record hash_fn)."""
+    metro64 builds only — the blobs do not record hash_fn, and probing
+    an xxhash64 build with metro64 fingerprints would silently answer
+    False for everything; grouped_anti_join enforces this."""
     if isinstance(filters, DataFrame):
         cols = filters.columns
         gcol = cols[0]
@@ -210,6 +212,11 @@ def grouped_anti_join(
     non-members of their group's filter bypass the verification join;
     only maybe-members are checked with an exact left_anti on
     (group, key). The per-group incremental-dedup pattern."""
+    if build_kwargs.get("hash_fn", "metro64") != "metro64":
+        raise ValueError(
+            "grouped_anti_join probes with metro64; an xxhash64 grouped "
+            "build would silently miss every member (blobs do not record "
+            "hash_fn)")
     if filters is None:
         filters = build_grouped_filters(seen, group_col, key_col, **build_kwargs)
     mc = grouped_might_contain_udf(probe.sparkSession, filters)

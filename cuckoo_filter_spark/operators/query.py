@@ -53,15 +53,15 @@ def might_contain_udf(spark, build: CuckooBuild | bytes):
     bid = bcast._jbroadcast.id()  # capture on driver; keys the executor cache
 
     if hash_fn == "xxhash64":
-        from cuckoo_filter_spark.kernel.filter import split_hash
         import numpy as np
 
         @pandas_udf("boolean")
         def probe_hashed(h: pd.Series) -> pd.Series:
             kern = _cached_kernel(bid, bcast)
             hv = h.to_numpy(dtype="int64").view(np.uint64)
-            idx, tag = split_hash(hv, kern.params.num_buckets,
-                                  kern.params.bits_per_item)
+            # layout-aware split: a vacuum build indexes by modulo, and
+            # the pow2 mask would probe the wrong buckets (silent FNs)
+            idx, tag = kern.params.split(hv)
             return pd.Series(kern.contain_hashed(idx, tag))
 
         def might_contain(col):

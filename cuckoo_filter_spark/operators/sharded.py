@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from cuckoo_filter_spark.hashing import metro64_batch
-from cuckoo_filter_spark.kernel.filter import CuckooKernel, CuckooProbe, split_hash
+from cuckoo_filter_spark.kernel.filter import CuckooKernel, CuckooProbe
 from cuckoo_filter_spark.operators.build import (
     DEFAULT_HEADROOM,
     pack_pairs,
@@ -132,7 +132,7 @@ def _probe_sharded(
         else:
             kern = CuckooProbe(bytes(blob))
         rows = order[lo:hi]
-        idx, tag = split_hash(h[rows], params.num_buckets, params.bits_per_item)
+        idx, tag = params.split(h[rows])
         out[rows] = kern.contain_hashed(idx, tag)
     return out
 
@@ -157,7 +157,7 @@ def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: b
             rows += len(keys)
             h = hashes_of(keys, hash_fn)
             shards = shard_of(h, num_shards)
-            idx, tag = split_hash(h, nb, f)
+            idx, tag = params.split(h)
             order = np.argsort(shards, kind="stable")
             ss = shards[order]
             bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
@@ -173,9 +173,7 @@ def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: b
             bi = np.concatenate(per_shard_bi[s])
             tg = np.concatenate(per_shard_tg[s])
             if unique and len(bi):
-                from cuckoo_filter_spark.kernel.filter import alt_index
-
-                alt = alt_index(bi, tg, nb)
+                alt = params.alt(bi, tg)
                 canon = (np.minimum(bi, alt).astype(np.uint64) << np.uint64(32)) | tg
                 _, first = np.unique(canon, return_index=True)
                 first = np.sort(first)
@@ -340,7 +338,7 @@ def sharded_might_contain_join(
             h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
         else:
             h = metro64_batch(left[key_col])
-        idx, tag = split_hash(h, params.num_buckets, params.bits_per_item)
+        idx, tag = params.split(h)
         out = left[cols].copy()
         out[flag_col] = kern.contain_hashed(idx, tag)
         return out
@@ -426,7 +424,7 @@ def sharded_delete(
             h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
         else:
             h = metro64_batch(left[key_col])
-        idx, tag = split_hash(h, params.num_buckets, params.bits_per_item)
+        idx, tag = params.split(h)
         ok = kern.delete_hashed(idx, tag)
         return pd.DataFrame(
             {"shard": [shard], "requested": [len(left)],
@@ -441,9 +439,15 @@ def sharded_delete(
     )
 
     if output_path is not None:
+        # persist so the parquet write and the metrics collect see the
+        # SAME computation; metrics must keep null-blob rows (delete
+        # keys routed to never-built shards), or the deleted==requested
+        # accounting would silently hide undeletable requests
+        updated = updated.persist()
         updated.where(F.col("blob").isNotNull()).write.mode("overwrite").parquet(
             output_path)
-        mrows = spark.read.parquet(output_path).drop("blob").collect()
+        mrows = updated.drop("blob").collect()
+        updated.unpersist()
         blobs = {}
     else:
         mrows = updated.collect()

@@ -80,8 +80,11 @@ class CuckooParams:
             raise ValueError(f"bits_per_item must be in [2, 32], got {self.bits_per_item}")
         if self.table_type == TABLE_VACUUM:
             c = self.chunk_buckets
-            if c < 8 or c & (c - 1):
-                raise ValueError(f"vacuum chunk_buckets must be a power of two ≥ 8, got {c}")
+            # < 64 would degenerate the smallest alternate range
+            # (chunk/8) toward 1 bucket: tags with range 1 get alt == idx
+            # (a single candidate bucket) and chains can never escape
+            if c < 64 or c & (c - 1):
+                raise ValueError(f"vacuum chunk_buckets must be a power of two ≥ 64, got {c}")
             if self.num_buckets <= 0 or self.num_buckets % c:
                 raise ValueError(
                     f"vacuum num_buckets must be a positive multiple of "

@@ -193,3 +193,28 @@ def test_connected_components_truncation_raises(spark):
         [(i, i + 1) for i in range(63)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=2)
+
+
+def test_content_hash_dedup_verify_restores_collisions(spark, monkeypatch):
+    """Fingerprint collisions must never silently merge distinct texts:
+    force every row onto ONE fingerprint and check the byte-verify pass
+    restores exactly one representative per distinct text."""
+    import cuckoo_filter_spark.functions.text as textmod
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def const_fp(texts: pd.Series) -> pd.Series:
+        return pd.Series([42] * len(texts), dtype="int64")
+
+    monkeypatch.setattr(textmod, "doc_fingerprint_udf", lambda: const_fp)
+    from cuckoo_filter_spark.operators.dedup import dedup_by_content_hash
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb"), (4, "bb"), (5, "cc")],
+        "doc_id long, text string")
+    kept = dedup_by_content_hash(df, "text", keep="min")
+    got = sorted((r["doc_id"], r["text"]) for r in kept.collect())
+    assert got == [(1, "aa"), (3, "bb"), (5, "cc")]
+    # unverified mode shows why the verify pass exists
+    merged = dedup_by_content_hash(df, "text", keep="min", verify=False)
+    assert merged.count() == 1

@@ -70,3 +70,9 @@ def test_grouped_filters_xxhash_counts(spark, docs):
             for r in docs.groupBy("lang")
             .agg(F.countDistinct("text").alias("n")).collect()}
     assert {r["lang"]: r["n_distinct"] for r in filters.collect()} == want
+
+
+def test_grouped_anti_join_rejects_xxhash64(spark, docs):
+    seen = docs.where(F.col("doc_id") < 100)
+    with pytest.raises(ValueError, match="metro64"):
+        grouped_anti_join(docs, "lang", "text", seen, hash_fn="xxhash64")

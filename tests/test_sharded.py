@@ -147,3 +147,28 @@ def test_sharded_build_single_shard(spark, keys_df):
     assert set(build.blobs) == {0}
     members = [r["key"] for r in keys_df.collect()]
     assert build.contain(members).all()
+
+
+def test_sharded_delete_output_path_keeps_unroutable_metrics(spark, keys_df,
+                                                             tmp_path):
+    """Delete keys routed to never-built shards must stay visible in the
+    metrics (requested>0, deleted=0) even when shard blobs are persisted
+    to parquet (the null-blob rows are excluded from the FILES, not the
+    accounting)."""
+    from cuckoo_filter_spark.operators.sharded import sharded_delete
+
+    # build over a single shard id by using one shard
+    build = build_sharded_cuckoo_filter(keys_df, "key", num_shards=2,
+                                        mode="multiset")
+    # drop one shard's blob to simulate an unroutable target
+    lone = dict(list(build.blobs.items())[:1])
+    build.blobs = lone
+    absent_shard_keys = keys_df  # half route to the missing shard
+    after = sharded_delete(absent_shard_keys, "key", build,
+                           output_path=str(tmp_path / "upd"))
+    req = sum(m["requested"] for m in after.metrics)
+    dele = sum(m["deleted"] for m in after.metrics)
+    assert req == keys_df.count()
+    assert dele < req  # the missing shard's requests deleted nothing
+    blobs = after.load_blobs(spark)
+    assert len(blobs) == 1  # parquet holds only real blobs

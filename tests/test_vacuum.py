@@ -125,3 +125,21 @@ def test_vacuum_spark_build_and_semi_join(spark):
                    li["l_orderkey"] == F.col("o_orderkey"), "left_semi")
     assert got.count() == want.count()
     assert got.select("l_orderkey").subtract(want.select("l_orderkey")).count() == 0
+
+
+def test_vacuum_xxhash64_probe_consistency(spark):
+    """Round-2 review regression: the xxhash64 probe path must split
+    with the build's layout (modulo, not pow2 mask) — a masked split on
+    a vacuum table probes the wrong buckets and silently drops members."""
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.query import might_contain_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keys = docs.select(F.concat_ws("/", "source", "doc_id").alias("key"))
+    n = keys.count()
+    pv = CuckooParams.for_capacity_vacuum(int(n * 1.2), 4, 16)
+    build = build_cuckoo_filter(keys, "key", params=pv, hash_fn="xxhash64")
+    assert build.params.table_type == TABLE_VACUUM
+    mc = might_contain_udf(spark, build)
+    hits = keys.where(mc(F.col("key"))).count()
+    assert hits == n, f"false negatives: {n - hits}/{n}"
