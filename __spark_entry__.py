@@ -98,8 +98,7 @@ def q_vacuum_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     hi = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
-    build = build_cuckoo_filter(hi, "o_orderkey", capacity=hi.count(),
-                                table_type=TABLE_VACUUM)
+    build = build_cuckoo_filter(hi, "o_orderkey", table_type=TABLE_VACUUM)
     joined = cuckoo_semi_join(li, "l_orderkey", hi, "o_orderkey", build=build)
     return (
         joined.groupBy("l_returnflag")

@@ -106,7 +106,6 @@ _NK0 = _U64(_K0)
 _NK1 = _U64(_K1)
 _NK2 = _U64(_K2)
 _NK3 = _U64(_K3)
-_SHIFTS8 = (np.arange(8, dtype=np.uint64) * _U64(8))
 
 
 def _rotr_np(x: np.ndarray, r: int) -> np.ndarray:
@@ -197,19 +196,12 @@ def _pad_rows(flat: np.ndarray, lens: np.ndarray, pad: int = 8) -> np.ndarray:
     return buf
 
 
-def _gather_u64(buf: np.ndarray, rows: np.ndarray, off: np.ndarray, nbytes: int) -> np.ndarray:
-    """Little-endian read of `nbytes` bytes at per-row byte offsets."""
-    j = off[:, None] + np.arange(nbytes)
-    b = buf[rows[:, None], j].astype(np.uint64)
-    return (b << _SHIFTS8[:nbytes]).sum(axis=1, dtype=np.uint64)
-
-
 def _read_u64_at(u64buf: np.ndarray, rows: np.ndarray, off: np.ndarray,
                  nbytes: int) -> np.ndarray:
     """Little-endian read of `nbytes` bytes at per-row byte offsets via
     TWO aligned u64 lane loads + shift-combine (the row pad guarantees
-    lane+1 exists) — replaces the per-byte gather of _gather_u64
-    (~4× fewer gathered elements for 8-byte reads)."""
+    lane+1 exists) — ~4× fewer gathered elements than a per-byte gather
+    for 8-byte reads."""
     lane = (off >> 3).astype(np.int64)
     sh = ((off.astype(np.uint64) & _U64(7)) * _U64(8))
     lo = u64buf[rows, lane]

@@ -166,18 +166,25 @@ class CuckooKernel:
                 break
             ci, ct = cur_i[s:s + chunk], cur_t[s:s + chunk]
             # snapshot only when this chunk could plausibly exhaust a
-            # 500-kick chain (projected load > 75%): an unconditional
-            # full-table copy per 128K-item chunk would make large
-            # builds O(n²/chunk) in memcpy bytes. Below that load a
-            # kick-chain exhaustion is (astronomically) impossible, and
-            # if it somehow happened we still fail loud, not wrong.
+            # 500-kick chain: an unconditional full-table copy per 128K-
+            # item chunk would make large builds O(n²/chunk) in memcpy
+            # bytes. For pow2 layouts the kick walk mixes globally, so
+            # projected GLOBAL load > 75% is the trigger; the vacuum walk
+            # is chunk-confined (one hot chunk can exhaust at low global
+            # load), so vacuum always snapshots.
+            plausible = (self.params.table_type == TABLE_VACUUM
+                         or (self.num_items + len(ci)) > 0.75 * cap)
             snap = ((self.slots.copy(), self.num_items, self.kicks)
-                    if (self.num_items + len(ci)) > 0.75 * cap else None)
+                    if plausible else None)
             try:
                 ok[s:s + chunk] = self._insert_frontier_chunk(ci, ct)
             except FilterFullError:
                 if snap is None:
-                    raise
+                    # (astronomically unlikely below the threshold)
+                    raise FilterFullError(
+                        "kick chain exhausted below the snapshot "
+                        "threshold; kernel state is inconsistent — "
+                        "discard this filter") from None
                 # saturation with interleaved kick chains the batch loop
                 # cannot untangle: restore the chunk-start table and redo
                 # sequentially (single chain in flight → reference

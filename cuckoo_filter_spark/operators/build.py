@@ -42,7 +42,7 @@ import pandas as pd
 
 from cuckoo_filter_spark.hashing import metro64_batch
 from cuckoo_filter_spark.kernel.filter import CuckooKernel
-from cuckoo_filter_spark.params import TABLE_SINGLE, TABLE_VACUUM, CuckooParams
+from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
 
 BUILD_SCHEMA = (
     "partition_id int, rows bigint, stored bigint, distinct_keys bigint, "
@@ -333,13 +333,9 @@ def build_cuckoo_filter(
     if params is None and not deferred:
         if capacity is None:
             capacity = sel.count()  # table partials need upfront params
-        hint = max(int(capacity * headroom), 64)
-        if table_type == TABLE_VACUUM:
-            params = CuckooParams.for_capacity_vacuum(
-                hint, tags_per_bucket, bits_per_item)
-        else:
-            params = CuckooParams.for_capacity(
-                hint, tags_per_bucket, bits_per_item, table_type)
+        params = CuckooParams.for_capacity(
+            max(int(capacity * headroom), 64), tags_per_bucket,
+            bits_per_item, table_type)  # dispatches vacuum sizing
 
     if mode == "unique_global":
         from pyspark.sql import functions as F
@@ -373,13 +369,9 @@ def build_cuckoo_filter(
         h = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
         if unique and len(h):
             h = np.unique(h)
-        params = (CuckooParams.for_capacity_vacuum(
-                      max(int(len(h) * headroom), 64), tags_per_bucket,
-                      bits_per_item)
-                  if table_type == TABLE_VACUUM else
-                  CuckooParams.for_capacity(
-                      max(int(len(h) * headroom), 64), tags_per_bucket,
-                      bits_per_item, table_type))
+        params = CuckooParams.for_capacity(
+            max(int(len(h) * headroom), 64), tags_per_bucket,
+            bits_per_item, table_type)  # dispatches vacuum sizing
         merged = CuckooKernel(params)
         idx, tag = params.split(h)
         merged.insert_pairs(idx, tag, dedupe=unique)

@@ -458,6 +458,11 @@ def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
     fp = doc_fingerprint_udf()
     agg = F.min if keep == "min" else F.max
     with_fp = df.withColumn("__fp", fp(F.col(text_col)))
+    if verify:
+        # the verification branch references with_fp from four subplans;
+        # without a persist Spark recomputes the fingerprint UDF pass
+        # per reference (uncached common subplans are not shared)
+        with_fp = with_fp.persist()
     reps = with_fp.groupBy("__fp").agg(agg(F.col(id_col)).alias(id_col))
     kept = with_fp.join(reps, [id_col, "__fp"], "left_semi")
     if not verify:

@@ -86,7 +86,8 @@ def grouped_distinct_count(
 
 
 GROUPED_BUILD_METRICS = (
-    "n_distinct bigint, stored bigint, load_factor double, blob binary"
+    "n_distinct bigint, stored bigint, load_factor double, hash_fn string, "
+    "blob binary"
 )
 
 
@@ -141,6 +142,7 @@ def build_grouped_filters(
             "n_distinct": [n_distinct],
             "stored": [stored],
             "load_factor": [kern.load_factor()],
+            "hash_fn": [hash_fn],
             "blob": [kern.to_bytes()],
         })
 
@@ -158,13 +160,21 @@ def grouped_might_contain_udf(spark, filters: DataFrame | dict):
     kernel inside an Arrow-batched pandas UDF. Keys whose group has no
     filter return False (nothing was inserted for that group).
 
-    metro64 builds only — the blobs do not record hash_fn, and probing
-    an xxhash64 build with metro64 fingerprints would silently answer
-    False for everything; grouped_anti_join enforces this."""
+    metro64 probes only: the filters frame records the build hash_fn
+    and any non-metro64 build is rejected here (probing an xxhash64
+    build with metro64 fingerprints would silently answer False for
+    everything). Dict inputs are assumed metro64."""
     if isinstance(filters, DataFrame):
         cols = filters.columns
         gcol = cols[0]
-        rows = filters.select(gcol, "blob").collect()
+        sel = [gcol, "blob"] + (["hash_fn"] if "hash_fn" in cols else [])
+        rows = filters.select(*sel).collect()
+        bad = {r["hash_fn"] for r in rows
+               if "hash_fn" in cols and r["hash_fn"] != "metro64"}
+        if bad:
+            raise ValueError(
+                f"grouped filters built with {sorted(bad)}; the grouped "
+                f"probe hashes with metro64 and would miss every member")
         blobs = {r[0]: bytes(r["blob"]) for r in rows}
     else:
         blobs = {g: bytes(b) for g, b in filters.items()}

@@ -106,7 +106,12 @@ class CuckooParams:
         bits_per_item: int = 16,
         table_type: int = TABLE_SINGLE,
     ) -> "CuckooParams":
-        """Size like NewFilter (cuckoofilter.go:74-87)."""
+        """Size like NewFilter (cuckoofilter.go:74-87). TABLE_VACUUM
+        dispatches to the vacuum sizing rule (chunk multiple, not pow2),
+        so every builder's table_type parameter works uniformly."""
+        if table_type == TABLE_VACUUM:
+            return cls.for_capacity_vacuum(max_num_keys, tags_per_bucket,
+                                           bits_per_item)
         b = tags_per_bucket
         num_buckets = next_pow2(max_num_keys // b)
         if num_buckets == 0:
@@ -140,6 +145,20 @@ class CuckooParams:
         target = vacuum_target_load(chunk_buckets, b)
         need = max(int(max_num_keys / (b * target)) + 1, chunk_buckets)
         num_buckets = ((need + chunk_buckets - 1) // chunk_buckets) * chunk_buckets
+        # never size LARGER than the pow2 rule would (chunk rounding can
+        # lose at small capacities): fall back to a pow2-sized vacuum
+        # table (chunk == num_buckets), floored at the 64-bucket minimum
+        pow2_nb = max(next_pow2(max(max_num_keys // b, 1)), 1)
+        if max_num_keys / (pow2_nb * b) > max_load_factor(b):
+            pow2_nb <<= 1
+        if num_buckets > pow2_nb:
+            num_buckets = max(pow2_nb, 64)
+            chunk_buckets = min(chunk_buckets, num_buckets)
+            # the pow2 rule targets 0.96; double if that overshoots the
+            # vacuum-achievable load for this chunk (narrow edge window)
+            if max_num_keys / (num_buckets * b) > vacuum_target_load(
+                    chunk_buckets, b):
+                num_buckets <<= 1
         return cls(b, bits_per_item, num_buckets, TABLE_VACUUM, chunk_buckets)
 
     @property

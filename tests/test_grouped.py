@@ -76,3 +76,15 @@ def test_grouped_anti_join_rejects_xxhash64(spark, docs):
     seen = docs.where(F.col("doc_id") < 100)
     with pytest.raises(ValueError, match="metro64"):
         grouped_anti_join(docs, "lang", "text", seen, hash_fn="xxhash64")
+
+
+def test_grouped_probe_rejects_prebuilt_xxhash_filters(spark, docs):
+    """The filters frame records hash_fn, so even PREBUILT xxhash64
+    filters passed via filters= are rejected instead of silently missing
+    every member."""
+    filters = build_grouped_filters(docs, "lang", "text", hash_fn="xxhash64")
+    with pytest.raises(ValueError, match="metro64"):
+        grouped_might_contain_udf(spark, filters)
+    seen = docs.where(F.col("doc_id") < 100)
+    with pytest.raises(ValueError, match="metro64"):
+        grouped_anti_join(docs, "lang", "text", seen, filters=filters)

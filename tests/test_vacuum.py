@@ -143,3 +143,25 @@ def test_vacuum_xxhash64_probe_consistency(spark):
     mc = might_contain_udf(spark, build)
     hits = keys.where(mc(F.col("key"))).count()
     assert hits == n, f"false negatives: {n - hits}/{n}"
+
+
+def test_vacuum_sizing_never_beats_pow2_backwards():
+    """Small capacities must not make vacuum LARGER than the pow2 rule
+    (beyond the 64-bucket layout floor), and every sized table must hold
+    its capacity."""
+    for n in (100, 500, 1_000, 3_000, 10_000):
+        pv = CuckooParams.for_capacity_vacuum(n, 4, 16)
+        pc = CuckooParams.for_capacity(n, 4, 16)
+        floor_bytes = CuckooParams(4, 16, 64, TABLE_VACUUM, 64).size_in_bytes()
+        assert pv.size_in_bytes() <= max(pc.size_in_bytes(), floor_bytes), n
+        kern = CuckooKernel(pv)
+        rng = np.random.default_rng(n)
+        ok = kern.add_unique([rng.bytes(16) for _ in range(n)])
+        assert int((~ok).sum()) <= 5, (n, int((~ok).sum()))
+
+
+def test_for_capacity_dispatches_vacuum():
+    p = CuckooParams.for_capacity(50_000, 4, 16, TABLE_VACUUM)
+    assert p.table_type == TABLE_VACUUM
+    assert p.chunk_buckets >= 64
+    assert p.num_buckets % p.chunk_buckets == 0
