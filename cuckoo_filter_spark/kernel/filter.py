@@ -379,15 +379,25 @@ class CuckooKernel:
         disjoint slots, so removal is a single scatter.
 
         With an occupied victim cache the reference interleaves victim
-        re-insertion with deletes (order-dependent), so that rare case
-        keeps the sequential loop."""
+        re-insertion with deletes (order-dependent), so the sequential
+        loop runs ONLY until the victim clears (usually the first
+        successful delete re-inserts it, TryEliminateVictim,
+        cuckoofilter.go:205-213) — the rest of the batch vectorizes."""
         n = len(idx)
         if n == 0:
             return np.zeros(0, dtype=bool)
         if not self.victim_used:
             return self._delete_vectorized(idx.astype(np.int64),
                                            tag.astype(np.uint32))
-        return self._delete_sequential(idx, tag)
+        out = np.zeros(n, dtype=bool)
+        k = 0
+        while k < n and self.victim_used:
+            out[k] = self._delete_sequential(idx[k:k + 1], tag[k:k + 1])[0]
+            k += 1
+        if k < n:
+            out[k:] = self._delete_vectorized(idx[k:].astype(np.int64),
+                                              tag[k:].astype(np.uint32))
+        return out
 
     def _delete_vectorized(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         n = len(idx)

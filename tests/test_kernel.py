@@ -416,3 +416,28 @@ def test_probe_matches_kernel(b, f, tt):
 
     assert np.array_equal(probe.contain(queries), kern.contain(queries))
     assert probe.victim_used == kern.victim_used
+
+
+def test_delete_with_victim_switches_to_vectorized():
+    """Occupied-victim deletes: sequential only until TryEliminateVictim
+    clears the cache, then the vectorized path — results must preserve
+    no-false-negatives on survivors and clear the victim."""
+    import numpy as np
+
+    from cuckoo_filter_spark.kernel.filter import CuckooKernel, FilterFullError
+
+    kern = CuckooKernel.for_capacity(1000, 4, 12)
+    local = np.random.default_rng(77)
+    keys = [local.bytes(24) for _ in range(kern.params.size_in_tags + 64)]
+    try:
+        ok = kern.add(keys)
+    except FilterFullError:
+        pytest.skip("did not reach stash cleanly")
+    stored = [k for k, o in zip(keys, ok) if o]
+    assert kern.victim_used
+    gone, keep = stored[: len(stored) // 2], stored[len(stored) // 2:]
+    deleted = kern.delete(gone)
+    assert deleted.all()
+    assert not kern.victim_used  # victim re-inserted after first delete
+    assert kern.contain(keep).all(), "false negative on survivor"
+    assert kern.size() == len(keep)
