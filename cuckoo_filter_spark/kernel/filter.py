@@ -606,7 +606,7 @@ class CuckooKernel:
     # ------------------------------------------------------------------
     # serialization — byte-compatible with SURVEY.md §1.5
     # ------------------------------------------------------------------
-    def to_bytes(self) -> bytes:
+    def _encoded_header(self) -> bytes:
         head = struct.pack(
             "<IIIB",
             self.num_items & 0xFFFFFFFF,
@@ -616,19 +616,49 @@ class CuckooKernel:
         )
         p = self.params
         if p.table_type == TABLE_PACKED:
-            table = struct.pack("<BBI", TABLE_PACKED, p.bits_per_item, p.num_buckets)
-            table += bitpack.pack_packed(self.slots, p.bits_per_item)
-        elif p.table_type == TABLE_VACUUM:
+            return head + struct.pack("<BBI", TABLE_PACKED, p.bits_per_item,
+                                      p.num_buckets)
+        if p.table_type == TABLE_VACUUM:
             # our extension: not a Go layout (num_buckets isn't pow2)
-            table = struct.pack("<BBBII", TABLE_VACUUM, p.tags_per_bucket,
-                                p.bits_per_item, p.num_buckets, p.chunk_buckets)
-            table += bitpack.pack_single(self.slots, p.bits_per_item)
+            return head + struct.pack("<BBBII", TABLE_VACUUM, p.tags_per_bucket,
+                                      p.bits_per_item, p.num_buckets,
+                                      p.chunk_buckets)
+        return head + struct.pack(
+            "<BBBI", TABLE_SINGLE, p.tags_per_bucket, p.bits_per_item,
+            p.num_buckets)
+
+    def to_bytes(self) -> bytes:
+        p = self.params
+        if p.table_type == TABLE_PACKED:
+            table = bitpack.pack_packed(self.slots, p.bits_per_item)
         else:
-            table = struct.pack(
-                "<BBBI", TABLE_SINGLE, p.tags_per_bucket, p.bits_per_item, p.num_buckets
-            )
-            table += bitpack.pack_single(self.slots, p.bits_per_item)
-        return head + table
+            table = bitpack.pack_single(self.slots, p.bits_per_item)
+        return self._encoded_header() + table
+
+    def encode_chunks(self, chunk_bytes: int = 1 << 20):
+        """Streaming encode — reference EncodeReader semantics
+        (cuckoofilter.go:268-282: serve the encoding incrementally).
+        Yields the blob in ~chunk_bytes pieces; for single/vacuum
+        layouts the table section is packed bucket-block by bucket-block
+        (block bit-length kept byte-aligned), so no full second copy of
+        the table is materialized. The packed semi-sorted layout falls
+        back to slicing a one-shot encode (its 12-bit codewords straddle
+        bucket boundaries). ``b"".join(encode_chunks()) == to_bytes()``.
+        """
+        p = self.params
+        if p.table_type == TABLE_PACKED:
+            blob = self.to_bytes()
+            for s in range(0, len(blob), chunk_bytes):
+                yield blob[s:s + chunk_bytes]
+            return
+        yield self._encoded_header()
+        bits_per_bucket = p.tags_per_bucket * p.bits_per_item
+        import math
+
+        align = 8 // math.gcd(bits_per_bucket, 8)  # buckets per aligned unit
+        rows = max(align, (chunk_bytes * 8 // bits_per_bucket) // align * align)
+        for lo in range(0, p.num_buckets, rows):
+            yield bitpack.pack_single(self.slots[lo:lo + rows], p.bits_per_item)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooKernel":

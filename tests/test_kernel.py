@@ -441,3 +441,30 @@ def test_delete_with_victim_switches_to_vectorized():
     assert not kern.victim_used  # victim re-inserted after first delete
     assert kern.contain(keep).all(), "false negative on survivor"
     assert kern.size() == len(keep)
+
+
+@pytest.mark.parametrize("b,f,tt", [(4, 16, 0), (4, 7, 0), (2, 5, 0),
+                                    (4, 9, 1), (4, 17, 1)])
+def test_encode_chunks_matches_to_bytes(b, f, tt):
+    """Streaming encode (reference EncodeReader): chunk concatenation is
+    byte-identical to the one-shot encoding at odd chunk sizes."""
+    from cuckoo_filter_spark.kernel.filter import CuckooKernel
+
+    kern = CuckooKernel.for_capacity(500, b, f, tt)
+    local = np.random.default_rng(b * 100 + f)
+    kern.add([local.bytes(16) for _ in range(300)])
+    want = kern.to_bytes()
+    for cb in (64, 1000, 1 << 20):
+        got = b"".join(kern.encode_chunks(chunk_bytes=cb))
+        assert got == want, (b, f, tt, cb)
+
+
+def test_encode_chunks_vacuum():
+    from cuckoo_filter_spark.kernel.filter import CuckooKernel
+    from cuckoo_filter_spark.params import CuckooParams
+
+    p = CuckooParams.for_capacity_vacuum(5000, 4, 12)
+    kern = CuckooKernel(p)
+    local = np.random.default_rng(9)
+    kern.add([local.bytes(16) for _ in range(4000)])
+    assert b"".join(kern.encode_chunks(chunk_bytes=512)) == kern.to_bytes()
