@@ -195,6 +195,32 @@ def run_kernel_microbench() -> dict:
             "encode_mb_per_sec": round(len(blob) / 1e6 / t_enc, 1),
             "load_factor": round(kern.load_factor(), 4),
         }
+
+    # vacuum layout (space extension): capacity just above a pow2
+    # boundary — the case the non-pow2 sizing exists for (at exact-pow2
+    # capacities both rules emit the same bytes)
+    from cuckoo_filter_spark.params import CuckooParams
+
+    cap_v = int(n * 1.1)
+    pv = CuckooParams.for_capacity_vacuum(cap_v, 4, 16)
+    pc = CuckooParams.for_capacity(cap_v, 4, 16)
+    kern = CuckooKernel(pv)
+    idx, tag = pv.split(h)
+    t0 = time.perf_counter()
+    kern.add_unique_hashed(idx, tag)
+    t_ins = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    kern.contain_hashed(idx, tag)
+    t_look = time.perf_counter() - t0
+    out["vacuum_4_16"] = {
+        "capacity": cap_v,
+        "inserts_per_sec": round(n / t_ins, 1),
+        "lookups_per_sec": round(n / t_look, 1),
+        "load_factor": round(kern.load_factor(), 4),
+        "table_bytes": pv.size_in_bytes(),
+        "pow2_table_bytes": pc.size_in_bytes(),
+        "space_saving": round(1 - pv.size_in_bytes() / pc.size_in_bytes(), 3),
+    }
     return out
 
 

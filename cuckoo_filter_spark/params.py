@@ -152,13 +152,13 @@ class CuckooParams:
         if max_num_keys / (pow2_nb * b) > max_load_factor(b):
             pow2_nb <<= 1
         if num_buckets > pow2_nb:
+            # fall back to the pow2 size with chunk == table: the alt
+            # ranges then span {nb .. nb/8}, i.e. near-global randomness,
+            # so the achievable load matches the pow2 rule's 0.96 target
+            # (measured ABOVE the 0.95 small-chunk target) — same bytes
+            # as the reference sizing, never more
             num_buckets = max(pow2_nb, 64)
-            chunk_buckets = min(chunk_buckets, num_buckets)
-            # the pow2 rule targets 0.96; double if that overshoots the
-            # vacuum-achievable load for this chunk (narrow edge window)
-            if max_num_keys / (num_buckets * b) > vacuum_target_load(
-                    chunk_buckets, b):
-                num_buckets <<= 1
+            chunk_buckets = num_buckets
         return cls(b, bits_per_item, num_buckets, TABLE_VACUUM, chunk_buckets)
 
     @property
