@@ -282,9 +282,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"), "text")
     c2 = docs.where(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 20000).alias("doc_id"), "text")
-    # the batch feeds signature gen, two byte-verify joins and the
-    # CC collapse — cache it once instead of re-scanning per subplan
-    batch = docs.unionByName(c1).unionByName(c2).cache()
+    batch = docs.unionByName(c1).unionByName(c2)
     cands = minhash_near_dup_pairs(batch, "text", "doc_id", threshold=0.95)
     pairs = _verify_byte_equal(batch, cands.select("id_a", "id_b"))
     kept = collapse_near_dup_clusters(batch, pairs, id_col="doc_id")

@@ -358,7 +358,7 @@ def main() -> None:
     # throughput sections are best-of-R (like the scaling protocol):
     # this shared VM shows up to ~2× run-to-run noise from neighbor
     # contention; the best repeat approximates the un-contended host
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
 
     def best_of(fn, key):
         runs = [fn() for _ in range(reps)]

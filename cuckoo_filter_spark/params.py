@@ -156,9 +156,14 @@ class CuckooParams:
             # ranges then span {nb .. nb/8}, i.e. near-global randomness,
             # so the achievable load matches the pow2 rule's 0.96 target
             # (measured ABOVE the 0.95 small-chunk target) — same bytes
-            # as the reference sizing, never more
+            # as the reference sizing. That reasoning holds only up to
+            # ~0.96 demanded load: b=8's pow2 rule accepts 0.99, where
+            # the vacuum walk DOES overflow (confirmed by stress test),
+            # so demands above 0.96 still double.
             num_buckets = max(pow2_nb, 64)
             chunk_buckets = num_buckets
+            if max_num_keys / (num_buckets * b) > 0.96:
+                num_buckets <<= 1
         return cls(b, bits_per_item, num_buckets, TABLE_VACUUM, chunk_buckets)
 
     @property

@@ -121,8 +121,8 @@ def test_vacuum_serialization_roundtrip_property(seed, f):
 @settings(max_examples=30, deadline=None)
 def test_batch_add_mask_invariants_property(seed):
     """For any overload level: accepted items are contained, size() ==
-    number of Trues, and a second add of rejected items after deletes
-    can succeed (no permanent corruption)."""
+    number of Trues, and after deleting some accepted items a rejected
+    item can be re-added successfully (no permanent corruption)."""
     rng = np.random.default_rng(seed)
     kern = CuckooKernel.for_capacity(200, 4, 12)
     n = int(rng.integers(50, 3 * kern.params.size_in_tags))
@@ -130,5 +130,13 @@ def test_batch_add_mask_invariants_property(seed):
     ok = kern.add(keys)
     assert kern.size() == int(ok.sum())
     acc = [k for k, o in zip(keys, ok) if o]
+    rej = [k for k, o in zip(keys, ok) if not o]
     if acc:
         assert kern.contain(acc).all()
+    if rej and len(acc) >= 20:
+        # free space, then the filter must accept new work again
+        gone = acc[:20]
+        assert kern.delete(gone).all()
+        ok2 = kern.add(rej[:4])
+        assert ok2.all(), "rejected items must insert after deletes"
+        assert kern.contain(rej[:4]).all()

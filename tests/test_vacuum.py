@@ -165,3 +165,18 @@ def test_for_capacity_dispatches_vacuum():
     assert p.table_type == TABLE_VACUUM
     assert p.chunk_buckets >= 64
     assert p.num_buckets % p.chunk_buckets == 0
+
+
+def test_vacuum_b8_fallback_holds_capacity():
+    """Review-3 regression (confirmed overflow): b=8's pow2 rule demands
+    0.99 load in the fallback window, where the vacuum walk overflows —
+    sizing must double there. Seeds 2 and 4 reproduced the old failure."""
+    for seed in (2, 4, 11):
+        p = CuckooParams.for_capacity_vacuum(8110, 8, 16)
+        assert 8110 / p.size_in_tags <= 0.96 + 1e-9
+        kern = CuckooKernel(p)
+        rng = np.random.default_rng(seed)
+        keys = [rng.bytes(16) for _ in range(8110)]
+        ok = kern.add_unique(keys)
+        assert kern.contain(keys).all(), f"false negative (seed {seed})"
+        assert int((~ok).sum()) <= 3  # canon dupes only
