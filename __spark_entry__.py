@@ -460,22 +460,30 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_package(spark)
     # daily windows bucket in the SESSION timezone; pin it to UTC so the
     # NTZ→TIMESTAMP cast is value-preserving and the buckets match the
-    # DuckDB oracle's naive date_trunc on any host timezone
+    # DuckDB oracle's naive date_trunc on any host timezone. Restore the
+    # previous timezone afterwards (a shared session must not see changed
+    # timestamp semantics in later queries); the timezone is captured
+    # into the plans at analysis time, so building the result frame
+    # inside the try block is sufficient.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = _stream_source(spark, sf_dir, "events")
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    qn = _run_stream(agg, "wincounts", "complete")
-    return (
-        spark.table(qn)
-        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
-                "event_type", "n")
-        .orderBy("day", "event_type")
-    )
+    try:
+        stream = _stream_source(spark, sf_dir, "events")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        qn = _run_stream(agg, "wincounts", "complete")
+        return (
+            spark.table(qn)
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                    "event_type", "n")
+            .orderBy("day", "event_type")
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 def q_streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,6 +90,7 @@ class CuckooKernel:
         self.victim_used = False
         self.seed = seed
         self.kicks = 0  # eviction count (lineage metric, not serialized)
+        self._corrupt = False  # set when an exhaustion left slots mutated
 
     @classmethod
     def for_capacity(
@@ -104,6 +105,13 @@ class CuckooKernel:
         """Batch of keys → (index, tag) arrays."""
         h = metro64_batch(items)
         return self.params.split(h)
+
+    def _check_usable(self) -> None:
+        if self._corrupt:
+            raise FilterFullError(
+                "kernel is poisoned: a prior insert exhausted its kick "
+                "chain with slots already mutated (unsnapshot path) — "
+                "discard this filter or reset() it")
 
     # ------------------------------------------------------------------
     # insert
@@ -124,6 +132,7 @@ class CuckooKernel:
         would lose a previously stored item); if a second such chain
         exhausts, there is no sequential-order equivalent and the insert
         fails loud with FilterFullError."""
+        self._check_usable()
         n = len(idx)
         if n == 0 or self.victim_used:
             return np.zeros(n, dtype=bool)
@@ -136,6 +145,7 @@ class CuckooKernel:
         return self.add_unique_hashed(idx, tag)
 
     def add_unique_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        self._check_usable()
         n = len(idx)
         ok = np.zeros(n, dtype=bool)
         if n == 0 or self.victim_used:
@@ -180,7 +190,12 @@ class CuckooKernel:
                 ok[s:s + chunk] = self._insert_frontier_chunk(ci, ct)
             except FilterFullError:
                 if snap is None:
-                    # (astronomically unlikely below the threshold)
+                    # (astronomically unlikely below the threshold).
+                    # Poison the kernel: slots are already mutated by the
+                    # interleaved chains, so a caller that catches
+                    # FilterFullError (e.g. a try/except add pattern)
+                    # must not keep querying a corrupted filter.
+                    self._corrupt = True
                     raise FilterFullError(
                         "kick chain exhausted below the snapshot "
                         "threshold; kernel state is inconsistent — "
@@ -351,6 +366,7 @@ class CuckooKernel:
 
     def contain_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         """Vectorized Contain (cuckoofilter.go:178-188)."""
+        self._check_usable()
         if len(idx) == 0:
             return np.zeros(0, dtype=bool)
         i2 = self.params.alt(idx, tag)
@@ -383,6 +399,7 @@ class CuckooKernel:
         loop runs ONLY until the victim clears (usually the first
         successful delete re-inserts it, TryEliminateVictim,
         cuckoofilter.go:205-213) — the rest of the batch vectorizes."""
+        self._check_usable()
         n = len(idx)
         if n == 0:
             return np.zeros(0, dtype=bool)
@@ -510,6 +527,7 @@ class CuckooKernel:
         or shard combine silently dropping fingerprints would break the
         no-false-negatives guarantee — so overflow raises
         FilterFullError; size tables with headroom instead."""
+        self._check_usable()
         bi = bi.astype(np.int64)
         tags = tags.astype(np.uint32)
         if dedupe and len(bi):
@@ -628,6 +646,7 @@ class CuckooKernel:
             p.num_buckets)
 
     def to_bytes(self) -> bytes:
+        self._check_usable()
         p = self.params
         if p.table_type == TABLE_PACKED:
             table = bitpack.pack_packed(self.slots, p.bits_per_item)
@@ -715,6 +734,7 @@ class CuckooKernel:
         self.victim_index = 0
         self.victim_tag = 0
         self.victim_used = False
+        self._corrupt = False  # empty state is consistent again
 
 
 class CuckooProbe:

@@ -112,6 +112,42 @@ class CuckooBuild:
         )
 
 
+class DistinctAccum:
+    """Vectorized exact raw-key distinct accumulator — replaces the
+    per-row Python ``set.update(tolist())`` pattern (hash-based pandas
+    dedupe, no per-row object churn). COUNT(DISTINCT) semantics: nulls
+    and NaN are dropped, so a float-NaN key can never inflate the count
+    (NaN != NaN made Python sets accumulate one entry per NaN batch).
+
+    Memory: holds the partition's distinct keys; per-batch dedupe plus
+    periodic consolidation keeps the pending buffer bounded."""
+
+    __slots__ = ("_parts", "_pending")
+    _CONSOLIDATE_AT = 4_000_000
+
+    def __init__(self) -> None:
+        self._parts: list[pd.Series] = []
+        self._pending = 0
+
+    def add(self, keys: pd.Series) -> None:
+        u = keys.dropna().drop_duplicates()
+        if len(u) == 0:
+            return
+        self._parts.append(u)
+        self._pending += len(u)
+        if self._pending >= self._CONSOLIDATE_AT and len(self._parts) > 1:
+            self._consolidate()
+
+    def _consolidate(self) -> None:
+        self._parts = [pd.concat(self._parts, ignore_index=True).drop_duplicates()]
+        self._pending = len(self._parts[0])
+
+    def __len__(self) -> int:
+        if len(self._parts) > 1:
+            self._consolidate()
+        return self._pending
+
+
 def hashes_of(pdf_col, hash_fn: str) -> np.ndarray:
     """Column batch → uint64 hashes. 'metro64' hashes key bytes in numpy
     (reference parity); '__prehashed__' means the column already holds
@@ -126,12 +162,13 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
                             hash_fn: str = "metro64", count_keys: bool = False):
     """mapInPandas: fingerprint + locally dedupe; emit (bucket, tag) pairs.
 
-    count_keys: additionally dedupe on the RAW key value (a per-partition
-    set) and report the count as ``distinct_keys``. Fingerprints collide
-    on the ~nb·2^f canon space, so ``stored`` under-counts distinct keys
-    with probability growing ~n²/canon_space; the raw-key count is exact
-    within the partition (and globally exact under ``unique_global``
-    co-location). Memory: one set of the partition's distinct keys."""
+    count_keys: additionally dedupe on the RAW key value (vectorized
+    DistinctAccum) and report the count as ``distinct_keys``.
+    Fingerprints collide on the ~nb·2^f canon space, so ``stored``
+    under-counts distinct keys with probability growing ~n²/canon_space;
+    the raw-key count is exact within the partition (and globally exact
+    under ``unique_global`` co-location, COUNT(DISTINCT) null semantics:
+    nulls/NaN excluded)."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -141,14 +178,14 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
         t0 = time.perf_counter()
         bis: list[np.ndarray] = []
         tgs: list[np.ndarray] = []
-        seen: set | None = set() if count_keys else None
+        seen: DistinctAccum | None = DistinctAccum() if count_keys else None
         for pdf in batches:
             keys = pdf[key_col]
             if len(keys) == 0:
                 continue
             rows += len(keys)
             if seen is not None:
-                seen.update(keys.drop_duplicates().tolist())
+                seen.add(keys)
             idx, tag = params.split(hashes_of(keys, hash_fn))
             bis.append(idx)
             tgs.append(tag)
@@ -194,14 +231,14 @@ def _hash_partial_builder(key_col: str, unique: bool, hash_fn: str = "metro64",
         rows = 0
         t0 = time.perf_counter()
         hs: list[np.ndarray] = []
-        seen: set | None = set() if count_keys else None
+        seen: DistinctAccum | None = DistinctAccum() if count_keys else None
         for pdf in batches:
             keys = pdf[key_col]
             if len(keys) == 0:
                 continue
             rows += len(keys)
             if seen is not None:
-                seen.update(keys.drop_duplicates().tolist())
+                seen.add(keys)
             hs.append(hashes_of(keys, hash_fn))
         h = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
         if unique and len(h):
@@ -237,14 +274,14 @@ def _table_partial_builder(params: CuckooParams, key_col: str, unique: bool,
         rows = 0
         stored = 0
         t0 = time.perf_counter()
-        seen: set | None = set() if count_keys else None
+        seen: DistinctAccum | None = DistinctAccum() if count_keys else None
         for pdf in batches:
             keys = pdf[key_col]
             if len(keys) == 0:
                 continue
             rows += len(keys)
             if seen is not None:
-                seen.update(keys.drop_duplicates().tolist())
+                seen.add(keys)
             ok = kern.add_unique(keys) if unique else kern.add(keys)
             stored += int(ok.sum())
         wall_ms = (time.perf_counter() - t0) * 1000.0

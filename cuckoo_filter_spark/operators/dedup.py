@@ -444,7 +444,15 @@ def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
                           id_col: str = "doc_id", verify: bool = True) -> DataFrame:
     """Exact content dedup keeping one representative per distinct TEXT
     (min/max id). Two-phase agg on the 64-bit fingerprint, so the
-    grouping shuffle moves only (fingerprint, id) pairs.
+    grouping shuffle moves only (fingerprint, id) pairs. ``id_col``
+    must be unique per row (it identifies the representative).
+
+    The fingerprint pass materializes a SLIM (id, fingerprint) frame
+    (16 B/row) via eager localCheckpoint: text bodies are never cached,
+    the UDF runs exactly once even though several subplans reference the
+    fingerprints, and the blocks are freed by the ContextCleaner when
+    the result goes out of scope (the previous full-width ``persist()``
+    leaked cached text blocks across calls in a long-lived session).
 
     verify=True (default) makes the result byte-exact under fingerprint
     collisions (~n²/2⁶⁵ odds, which at 10¹²-row scale is no longer
@@ -457,18 +465,17 @@ def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
 
     fp = doc_fingerprint_udf()
     agg = F.min if keep == "min" else F.max
-    with_fp = df.withColumn("__fp", fp(F.col(text_col)))
-    if verify:
-        # the verification branch references with_fp from four subplans;
-        # without a persist Spark recomputes the fingerprint UDF pass
-        # per reference (uncached common subplans are not shared)
-        with_fp = with_fp.persist()
-    reps = with_fp.groupBy("__fp").agg(agg(F.col(id_col)).alias(id_col))
-    kept = with_fp.join(reps, [id_col, "__fp"], "left_semi")
+    slim = df.select(id_col, fp(F.col(text_col)).alias("__fp"))
+    slim = slim.localCheckpoint(eager=True)
+    reps = slim.groupBy("__fp").agg(agg(F.col(id_col)).alias(id_col))
+    winner_ids = reps.select(id_col)
+    kept = df.join(winner_ids, id_col, "left_semi")
     if not verify:
-        return kept.drop("__fp")
-    losers = with_fp.join(reps, [id_col, "__fp"], "left_anti")
-    rep_txt = kept.select("__fp", F.col(text_col).alias("__rep_text"))
+        return kept
+    loser_fp = slim.join(winner_ids, id_col, "left_anti")
+    rep_txt = df.join(reps, id_col).select(
+        "__fp", F.col(text_col).alias("__rep_text"))
+    losers = df.join(loser_fp, id_col)
     mism = (
         losers.join(rep_txt, "__fp")
         .where(F.col(text_col) != F.col("__rep_text"))
@@ -477,7 +484,7 @@ def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
     # exact representative per collided text (tiny set; usually empty)
     fixed_reps = mism.groupBy("__fp", text_col).agg(agg(F.col(id_col)).alias(id_col))
     fixed = mism.join(fixed_reps, [id_col, "__fp", text_col], "left_semi")
-    return kept.drop("__fp").unionByName(fixed.drop("__fp"))
+    return kept.unionByName(fixed.drop("__fp"))
 
 
 # ---------------------------------------------------------------------------

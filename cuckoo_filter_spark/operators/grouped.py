@@ -44,20 +44,40 @@ def _group_field_ddl(df: DataFrame, group_col: str) -> str:
 
 def _partial_emitter(group_col: str, key_col: str, with_hashes: bool,
                      hash_fn: str = "metro64"):
+    """Vectorized per-(partition, group) raw-key dedupe: per-batch pandas
+    drop_duplicates on (group, key) + periodic consolidation — no Python
+    sets, no per-row object churn. COUNT(DISTINCT) null semantics: null
+    keys are excluded (null groups are kept — SQL groups by NULL)."""
+
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        per_group: dict = {}
+        parts: list[pd.DataFrame] = []
+        pending = 0
         for pdf in batches:
-            for g, sub in pdf.groupby(group_col, dropna=False, sort=False):
-                seen = per_group.setdefault(g, set())
-                seen.update(sub[key_col].drop_duplicates().tolist())
-        groups = list(per_group)
-        ns = [len(per_group[g]) for g in groups]
+            u = pdf[[group_col, key_col]].drop_duplicates()
+            u = u[u[key_col].notna()]
+            if len(u) == 0:
+                continue
+            parts.append(u)
+            pending += len(u)
+            if pending >= 4_000_000 and len(parts) > 1:
+                parts = [pd.concat(parts, ignore_index=True).drop_duplicates()]
+                pending = len(parts[0])
+        if not parts:
+            out = {group_col: [], "n": []}
+            if with_hashes:
+                out["blob"] = []
+            yield pd.DataFrame(out)
+            return
+        alldf = pd.concat(parts, ignore_index=True).drop_duplicates()
+        groups, ns, blobs = [], [], []
+        for g, sub in alldf.groupby(group_col, dropna=False, sort=False):
+            groups.append(g)
+            ns.append(len(sub))
+            if with_hashes:
+                keys = sub[key_col].reset_index(drop=True)
+                blobs.append(hashes_of(keys, hash_fn).astype("<u8").tobytes())
         out = {group_col: groups, "n": ns}
         if with_hashes:
-            blobs = []
-            for g in groups:
-                keys = pd.Series(sorted(per_group[g], key=repr))
-                blobs.append(hashes_of(keys, hash_fn).astype("<u8").tobytes())
             out["blob"] = blobs
         yield pd.DataFrame(out)
 

@@ -57,9 +57,11 @@ class TDigestSketch:
         """Fully vectorized k-space clustering (the classic merging-
         digest variant): each input centroid lands in the unit k-interval
         of its cumulative-weight midpoint; consecutive equal intervals
-        merge. Same K1 size bound (a cluster never spans more than one
-        k-unit) and tail behavior as the greedy scan, with no per-item
-        Python loop."""
+        merge. Size bound is ~2 k-units (a merged cluster whose members'
+        midpoints fall near both edges of one interval can span almost
+        two units — slightly looser than the greedy scan's strict 1-unit
+        K1 bound, same asymptotic tail accuracy; the accuracy pytest
+        bound is the guardrail), with no per-item Python loop."""
         order = np.argsort(means, kind="stable")
         means = means[order]
         weights = weights[order]
