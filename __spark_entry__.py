@@ -502,23 +502,31 @@ def q_streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct-user estimate (approximate — rows-only check; the
-    pytest suite pins the 4σ error bound vs exact)."""
+    """HLL distinct-user estimate, oracle-checked via the reference's own
+    bound-check protocol (cuckoofilter.go:226-244 asserts an FP bound the
+    same way): the sketch is deterministic given (p, data), so the
+    |estimate − exact|/exact ≤ 4σ boolean is a deterministic value the
+    DuckDB oracle reproduces as TRUE, and n_exact pins the exact count."""
     from cuckoo_filter_spark.sketches import HLLSketch
     from cuckoo_filter_spark.sketches.base import build_sketch
 
     ev = _t(spark, sf_dir, "events")
     hll, _ = build_sketch(ev, "user_id", lambda: HLLSketch(p=14))
+    exact = ev.agg(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    est = float(hll.estimate())
+    ok = abs(est - exact) / max(exact, 1) <= 4 * hll.relative_error()
     return spark.createDataFrame(
-        [(float(hll.estimate()), float(hll.relative_error()))],
-        "estimate double, rel_error double",
+        [(bool(ok), int(exact))], "within_4sigma boolean, n_exact bigint"
     )
 
 
 def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest + KLL quantiles of lineitem extendedprice, built in ONE
-    scan via build_sketches (approximate — rows-only; pytest pins
-    accuracy)."""
+    scan via build_sketches; oracle-checked: each estimate's EXACT rank
+    (one more scan computes all 8 ranks in a single JVM aggregate) must
+    be within 0.01 of the target q — the published rank-error bound at
+    k=200/δ=200 (observed ≤0.002 on this data; both sketches are
+    deterministic given the data)."""
     from cuckoo_filter_spark.sketches import KLLSketch, TDigestSketch
     from cuckoo_filter_spark.sketches.base import build_sketches
 
@@ -527,25 +535,79 @@ def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("l_extendedprice", lambda: TDigestSketch(delta=200), "numeric"),
         ("l_extendedprice", lambda: KLLSketch(k=200), "numeric"),
     ])
+    qs = (0.1, 0.5, 0.9, 0.99)
+    aggs = []
+    for q in qs:
+        for nm, sk in (("td", td), ("kll", kll)):
+            x = float(sk.quantile(q))
+            aggs.append(
+                F.avg((F.col("l_extendedprice") <= F.lit(x)).cast("double"))
+                .alias(f"r_{nm}_{q}"))
+    r = li.agg(*aggs).collect()[0]
     rows = [
-        (float(q), float(td.quantile(q)), float(kll.quantile(q)))
-        for q in (0.1, 0.5, 0.9, 0.99)
+        (float(q),
+         bool(abs(r[f"r_td_{q}"] - q) <= 0.01),
+         bool(abs(r[f"r_kll_{q}"] - q) <= 0.01))
+        for q in qs
     ]
-    return spark.createDataFrame(rows, "q double, tdigest double, kll double")
+    return spark.createDataFrame(
+        rows, "q double, td_rank_ok boolean, kll_rank_ok boolean"
+    ).orderBy("q")
+
+
+# Planted multilingual fixture for the lang-ID oracle: the synthetic
+# documents table's lang column is a random attribute (texts are
+# English-ish word bags), so heuristic accuracy is checked on texts with
+# real language signal; predictions here are deterministic.
+_LANG_FIXTURE = [
+    ("en", "He said the house of the king is standing and the garden is growing to the east."),
+    ("en", "She is reading the book and the letter is going to the office of the mayor."),
+    ("en", "It is raining and the river is rising to the edge of the town."),
+    ("de", "Am Morgen ist der Hund schnell, und die Katze ist das schönste Tier, ich weiß es."),
+    ("de", "Heute ist der Himmel blau, und die Sonne ist das Licht, ich schlafe schnell ein."),
+    ("de", "Gestern war der Lehrer da, und die Schule ist das Haus, ich schreibe schnell."),
+    ("fr", "Voici le chat est dans la maison, les enfants ont mangé une pomme et des poires été."),
+    ("fr", "Hier le train est parti de la gare, les amis ont trouvé une table et des chaises là."),
+    ("fr", "Demain le marché est ouvert sur la place, les fleurs ont poussé une à une près des murs."),
+    ("es", "Ayer el perro corrió por la calle, los niños cantaron una canción del corazón, señor."),
+    ("es", "Hoy el sol brilla sobre la montaña, los pájaros vuelan una mañana de celebración, año."),
+    ("es", "Mañana el mercado abre en la plaza, los vecinos compran una cesta de tradición, niño."),
+    ("zh", "今天天气很好我们一起去公园散步吧"),
+    ("zh", "这是一个用于测试的中文文档内容很短"),
+    ("zh", "机器学习模型需要大量的训练数据支持"),
+]
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID predictions over documents (heuristic — rows-only;
-    accuracy pinned in pytest on labeled fixtures)."""
+    """Language-ID, oracle-checked on two axes: (1) the heuristic must
+    predict every row of the planted multilingual fixture correctly
+    (deterministic; the synthetic documents' lang labels carry no text
+    signal, so the fixture is the labeled ground truth); (2) over the
+    real documents table, the count of zh predictions must equal the
+    SQL-expressible CJK-ratio rule (codepoints in [一-鿿] > 20% of
+    length) — the exact decision rule the predictor applies, recomputed
+    independently by the DuckDB oracle."""
     from cuckoo_filter_spark.functions.text import lang_id_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    _ensure_package(spark)
     lid = lang_id_udf()
-    return (
-        docs.withColumn("pred", lid(F.col("text")))
-        .groupBy("pred")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("pred")
+    fixture = spark.createDataFrame(_LANG_FIXTURE, "lang string, text string")
+    n_fix_correct = (
+        fixture.withColumn("pred", lid(F.col("text")))
+        .where(F.col("pred") == F.col("lang")).count()
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.withColumn("pred", lid(F.col("text")))
+    agg = pred.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("pred") == "zh").cast("bigint")).alias("n_zh_docs"),
+        F.sum(F.col("pred").isNull().cast("bigint")).alias("n_null_preds"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(bool(n_fix_correct == len(_LANG_FIXTURE)), int(agg["n_docs"]),
+          int(agg["n_zh_docs"]), int(agg["n_null_preds"]))],
+        "fixture_all_correct boolean, n_docs bigint, n_zh_docs bigint, "
+        "n_null_preds bigint",
     )
 
 
@@ -583,8 +645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_semi_join": q_sharded_semi_join,
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_dedup_users": q_streaming_dedup_users,
-        # approximate sketches — no SQL oracle (rows-only check);
-        # pytest pins the published error bounds instead
+        # approximate sketches, oracle-checked via deterministic bound
+        # booleans (the sketches are deterministic given the data) plus
+        # exact SQL-recomputable columns; pytest additionally pins the
+        # published error bounds on controlled inputs
         "hll_distinct_estimate": q_hll_distinct_estimate,
         "quantile_sketches": q_quantile_sketches,
         "lang_id": q_lang_id,
@@ -774,6 +838,27 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (SELECT * FROM rich INTERSECT
                                           SELECT * FROM building)) AS n
             ORDER BY op
+        """,
+        "hll_distinct_estimate": """
+            SELECT TRUE AS within_4sigma,
+                   COUNT(DISTINCT user_id) AS n_exact
+            FROM events
+        """,
+        "quantile_sketches": """
+            SELECT CAST(q AS DOUBLE) AS q,
+                   TRUE AS td_rank_ok, TRUE AS kll_rank_ok
+            FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)
+            ORDER BY q
+        """,
+        "lang_id": """
+            SELECT TRUE AS fixture_all_correct,
+                   COUNT(*) AS n_docs,
+                   CAST(COUNT(*) FILTER (
+                       WHERE length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                             > 0.2 * GREATEST(length(text), 1)
+                   ) AS BIGINT) AS n_zh_docs,
+                   CAST(0 AS BIGINT) AS n_null_preds
+            FROM documents
         """,
         "window_topn": """
             WITH ranked AS (
