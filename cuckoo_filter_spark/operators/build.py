@@ -54,6 +54,13 @@ BUILD_SCHEMA = (
 # table, so merged partials stay under max_load_factor (SURVEY.md §7 M5).
 DEFAULT_HEADROOM = 1.15
 
+# Above this many keys the single-blob build auto-routes to the sharded
+# build: the classic path collects 8 B/key of pair/hash blobs to the
+# driver, which is fine to ~10^7-10^8 keys and a driver OOM at 10^12.
+# The sharded path's combine runs per shard on executors; only the
+# per-shard metrics rows reach the driver.
+AUTO_SHARD_THRESHOLD = 10_000_000
+
 _SPARSE_MAGIC = b"SPRS"
 _HASH_MAGIC = b"HSH8"
 
@@ -302,6 +309,83 @@ def _table_partial_builder(params: CuckooParams, key_col: str, unique: bool,
     return build
 
 
+def _choose_num_shards(capacity: int) -> int:
+    """Shard count for auto-routed builds: ~8M keys per shard (a few MB
+    of table each), floored at 32 so the combine parallelizes."""
+    from cuckoo_filter_spark.params import next_pow2
+
+    return max(32, next_pow2(max(int(np.ceil(capacity / 8_000_000)), 1)))
+
+
+def _sharded_from_hash_partials(parts, est_keys: int, num_shards: int,
+                                tags_per_bucket: int, bits_per_item: int,
+                                table_type: int, headroom: float, unique: bool,
+                                hash_fn: str):
+    """Deferred-sizing build whose observed key count crossed the
+    auto-shard threshold: re-shuffle the already-computed per-partition
+    hash blobs by shard (NO second scan of the source) and run the
+    per-shard kick combine on executors — the driver never sees pair
+    blobs. Sizing uses the sum of per-partition deduped counts, an upper
+    bound on the global distinct count, so shards land at or below the
+    target load."""
+    from cuckoo_filter_spark.operators import sharded as sh
+
+    per_shard_cap = max(int(est_keys * headroom / num_shards), 64)
+    params = CuckooParams.for_capacity(per_shard_cap, tags_per_bucket,
+                                       bits_per_item, table_type)
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for pid, rows_n, blob in zip(pdf["partition_id"], pdf["rows"],
+                                         pdf["blob"]):
+                if not rows_n:
+                    continue
+                h = unpack_hashes(bytes(blob))
+                shards = sh.shard_of(h, num_shards)
+                idx, tag = params.split(h)
+                order = np.argsort(shards, kind="stable")
+                ss = shards[order]
+                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+                bounds = np.r_[bounds, len(ss)]
+                out_shard, out_n, out_blob = [], [], []
+                for k in range(len(bounds) - 1):
+                    lo, hi = bounds[k], bounds[k + 1]
+                    rs = order[lo:hi]
+                    bi, tg = idx[rs], tag[rs]
+                    if unique and len(bi):
+                        alt = params.alt(bi, tg)
+                        canon = (np.minimum(bi, alt).astype(np.uint64)
+                                 << np.uint64(32)) | tg
+                        _, first = np.unique(canon, return_index=True)
+                        first = np.sort(first)
+                        bi, tg = bi[first], tg[first]
+                    out_shard.append(int(ss[lo]))
+                    out_n.append(len(bi))
+                    out_blob.append(pack_pairs(bi, tg))
+                yield pd.DataFrame(
+                    {"shard": out_shard,
+                     # the partial's partition_id (unique per input row)
+                     # keeps the per-shard combine order deterministic
+                     "src_partition": [int(pid)] * len(out_shard),
+                     "n": out_n, "rows": [int(rows_n)] * len(out_shard),
+                     "blob": out_blob})
+
+    pairs = parts.select("partition_id", "rows", "blob").mapInPandas(
+        explode, sh.PAIRS_SCHEMA)
+    shards_df = pairs.groupBy("shard").applyInPandas(
+        sh._shard_combiner(params, unique), sh.SHARD_SCHEMA)
+    mrows = shards_df.collect()
+    metrics = [
+        {k: r[k] for k in ("shard", "rows", "stored", "kicks", "victim_used",
+                           "load_factor", "wall_ms")}
+        for r in mrows
+    ]
+    return sh.ShardedCuckooBuild(
+        params=params, num_shards=num_shards,
+        blobs={int(r["shard"]): bytes(r["blob"]) for r in mrows},
+        metrics=metrics, hash_fn=hash_fn)
+
+
 def build_cuckoo_filter(
     df,
     key_col: str,
@@ -315,6 +399,7 @@ def build_cuckoo_filter(
     headroom: float = DEFAULT_HEADROOM,
     params: CuckooParams | None = None,
     hash_fn: str = "metro64",
+    auto_shard: int | None = AUTO_SHARD_THRESHOLD,
 ) -> CuckooBuild:
     """Build one global cuckoo filter over ``df[key_col]``.
 
@@ -348,6 +433,16 @@ def build_cuckoo_filter(
     the 64-bit hash JVM-side in whole-stage codegen and Python only
     splits/inserts; fastest path when reference hash parity isn't needed.
     Probes must use the same hash_fn (might_contain_udf handles this).
+
+    auto_shard: when the (declared or observed) key count exceeds this
+    threshold the build routes to ``build_sharded_cuckoo_filter`` and
+    returns a :class:`ShardedCuckooBuild` — the classic path collects
+    8 B/key of pair blobs to the driver, a driver OOM at 10^9+ keys.
+    ``might_contain_udf`` and the semi/anti joins accept both build
+    types, so the routing is transparent to query code. Not applied to
+    ``unique_global`` (its repartition(key) pass exists for exact
+    distinct counting; use grouped_distinct_count at scale), explicit
+    ``params``, or ``partial_format='table'``. ``None`` disables.
     """
     if mode not in ("unique_local", "unique_global", "multiset"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -355,6 +450,19 @@ def build_cuckoo_filter(
         raise ValueError(f"unknown partial_format {partial_format!r}")
     if hash_fn not in ("metro64", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    may_route = (auto_shard is not None and params is None
+                 and partial_format == "sparse" and mode != "unique_global")
+    if may_route and capacity is not None and capacity > auto_shard:
+        from cuckoo_filter_spark.operators.sharded import (
+            build_sharded_cuckoo_filter,
+        )
+
+        return build_sharded_cuckoo_filter(
+            df, key_col, capacity=capacity,
+            num_shards=_choose_num_shards(capacity),
+            tags_per_bucket=tags_per_bucket, bits_per_item=bits_per_item,
+            table_type=table_type, mode=mode, headroom=headroom,
+            hash_fn=hash_fn)
     inner_hash = hash_fn
     if hash_fn == "xxhash64":
         from pyspark.sql import functions as F
@@ -392,7 +500,24 @@ def build_cuckoo_filter(
     else:
         builder = _table_partial_builder(params, key_col, unique, count_keys)
     parts = sel.mapInPandas(builder, BUILD_SCHEMA)
-    rows = parts.collect()  # one small row per partition (pairs/metrics)
+    if deferred and may_route:
+        # observe the (partition-deduped) key count from the tiny metric
+        # columns BEFORE pulling any blob to the driver; if it crosses
+        # the threshold, shuffle the persisted hash partials by shard
+        # and combine on executors instead.
+        parts = parts.persist()
+        try:
+            est = sum(r["stored"] for r in
+                      parts.select("stored").collect())
+            if est > auto_shard:
+                return _sharded_from_hash_partials(
+                    parts, est, _choose_num_shards(est), tags_per_bucket,
+                    bits_per_item, table_type, headroom, unique, hash_fn)
+            rows = parts.collect()
+        finally:
+            parts.unpersist()
+    else:
+        rows = parts.collect()  # one small row per partition (pairs/metrics)
     rows.sort(key=lambda r: r["partition_id"])  # deterministic combine order
 
     metrics = [

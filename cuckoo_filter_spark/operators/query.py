@@ -43,10 +43,21 @@ def _cached_kernel(key: int, bcast) -> CuckooProbe:
     return kern
 
 
-def might_contain_udf(spark, build: CuckooBuild | bytes):
+def might_contain_udf(spark, build: "CuckooBuild | bytes"):
     """Returns ``f(col) -> boolean Column`` probing the filter with the
     same hash_fn the build used. For xxhash64 builds the hash runs
-    JVM-side (whole-stage codegen) and the UDF only splits/probes."""
+    JVM-side (whole-stage codegen) and the UDF only splits/probes.
+
+    Accepts a ShardedCuckooBuild too (what build_cuckoo_filter returns
+    when the key count crosses its auto-shard threshold) — probes then
+    route by shard inside the UDF, same call shape."""
+    from cuckoo_filter_spark.operators.sharded import (
+        ShardedCuckooBuild,
+        sharded_might_contain_udf,
+    )
+
+    if isinstance(build, ShardedCuckooBuild):
+        return sharded_might_contain_udf(spark, build)
     blob = build.blob if isinstance(build, CuckooBuild) else build
     hash_fn = build.hash_fn if isinstance(build, CuckooBuild) else "metro64"
     bcast = spark.sparkContext.broadcast(blob)
@@ -103,7 +114,7 @@ def cuckoo_semi_join(
     build_df: DataFrame,
     build_key: str,
     exact: bool = True,
-    build: CuckooBuild | None = None,
+    build: "CuckooBuild | ShardedCuckooBuild | None" = None,
     **build_kwargs,
 ) -> DataFrame:
     """probe ⋉ build_df with cuckoo pre-pruning.
@@ -130,7 +141,7 @@ def cuckoo_anti_join(
     probe_key: str,
     build_df: DataFrame,
     build_key: str,
-    build: CuckooBuild | None = None,
+    build: "CuckooBuild | ShardedCuckooBuild | None" = None,
     **build_kwargs,
 ) -> DataFrame:
     """Exact probe ▷ build_df (anti join) with safe cuckoo acceleration:

@@ -238,7 +238,17 @@ def build_sharded_cuckoo_filter(
     output_path: if set, shard blob rows are written to parquet by the
     executors (the 10^12 workflow — blobs never pass through the
     driver); only the small metrics columns are collected. Otherwise
-    blobs are collected into the returned object (test/interactive)."""
+    blobs are collected into the returned object (test/interactive).
+
+    table_type=TABLE_VACUUM composes with sharding (~25-45% smaller
+    shards): the shard id is the top log2(S) bits of the hash, and the
+    vacuum index is hi32 % num_buckets — within one shard hi32 spans a
+    contiguous 2^32/S slice, so each bucket receives floor/ceil((2^32/S)
+    / num_buckets) hash values, a relative bucket-load bias of at most
+    num_buckets·S/2^32 (≈0.8% at nb=2^20, S=32) that the sizing headroom
+    absorbs; the alternate-index XOR stays chunk-confined exactly as in
+    the single-filter layout (membership parity is pinned by
+    test_sharded_vacuum_*)."""
     if num_shards & (num_shards - 1) or num_shards <= 0:
         raise ValueError("num_shards must be a power of two")
     inner_hash = hash_fn

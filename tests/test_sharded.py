@@ -172,3 +172,42 @@ def test_sharded_delete_output_path_keeps_unroutable_metrics(spark, keys_df,
     assert dele < req  # the missing shard's requests deleted nothing
     blobs = after.load_blobs(spark)
     assert len(blobs) == 1  # parquet holds only real blobs
+
+
+def test_sharded_vacuum_membership_and_space(spark, keys_df):
+    """TABLE_VACUUM composes with sharding: no false negatives, FP in
+    line with f=16, and strictly fewer table bytes than the pow2 rule
+    at the same per-shard capacity."""
+    from cuckoo_filter_spark.params import TABLE_VACUUM, CuckooParams
+
+    # capacity just above a pow2 boundary per shard — the case the
+    # non-pow2 sizing exists for (tiny capacities hit the 64-bucket
+    # vacuum floor, where the layouts tie)
+    cap = 118_000
+    build = build_sharded_cuckoo_filter(
+        keys_df, "key", capacity=cap, num_shards=8, table_type=TABLE_VACUUM)
+    assert build.params.table_type == TABLE_VACUUM
+    members = [r["key"] for r in keys_df.collect()]
+    assert build.contain(members).all(), "false negative in sharded vacuum"
+    probes = [f"absent{i}" for i in range(20000)]
+    assert build.contain(probes).mean() <= 0.001
+    # space: vacuum shard table < pow2 shard table for equal capacity
+    per_shard_cap = max(int(cap * 1.15 / 8), 64)
+    pow2 = CuckooParams.for_capacity(per_shard_cap, 4, 16)
+    assert build.params.size_in_bytes() < pow2.size_in_bytes()
+
+
+def test_sharded_vacuum_udf_and_delete(spark, keys_df):
+    """Broadcast probe + distributed delete run unchanged on vacuum
+    shards (layout-aware split/alt routed via params)."""
+    from cuckoo_filter_spark.operators.sharded import sharded_delete
+    from cuckoo_filter_spark.params import TABLE_VACUUM
+
+    build = build_sharded_cuckoo_filter(
+        keys_df, "key", num_shards=4, table_type=TABLE_VACUUM,
+        mode="multiset")
+    mc = sharded_might_contain_udf(spark, build)
+    assert keys_df.where(mc(F.col("key"))).count() == keys_df.count()
+    gone = keys_df.limit(50)
+    after = sharded_delete(gone, "key", build)
+    assert sum(m["deleted"] for m in after.metrics) == 50

@@ -105,3 +105,69 @@ def test_register_might_contain_sql(spark, docs):
         "SELECT count(*) AS n FROM keys_v WHERE cf_contains(concat(key, '-absent'))"
     ).collect()[0]["n"]
     assert miss <= keys.count() * 0.01
+
+
+def test_auto_shard_declared_capacity(spark):
+    """A declared capacity above the threshold routes to the sharded
+    build (no 8 B/key driver collect); probes and semi joins behave
+    identically through the dispatching might_contain_udf."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.query import (
+        cuckoo_semi_join,
+        might_contain_udf,
+    )
+    from cuckoo_filter_spark.operators.sharded import ShardedCuckooBuild
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    build = build_cuckoo_filter(df, "key", capacity=20_000, auto_shard=5_000)
+    assert isinstance(build, ShardedCuckooBuild)
+    mc = might_contain_udf(spark, build)
+    assert df.where(mc(F.col("key"))).count() == 20_000
+    # end-to-end through the semi join with the router engaged
+    probe = spark.range(40_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    out = cuckoo_semi_join(probe, "key", df, "key", capacity=20_000,
+                           auto_shard=5_000)
+    assert out.count() == 20_000
+
+
+def test_auto_shard_deferred_observed_count(spark):
+    """With no capacity hint, the deferred-sizing path observes the key
+    count from the partial metrics and re-shuffles the hash partials by
+    shard — no second scan, driver never pulls pair blobs."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.sharded import ShardedCuckooBuild
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("key"))
+    build = build_cuckoo_filter(df, "key", auto_shard=5_000)
+    assert isinstance(build, ShardedCuckooBuild)
+    assert sum(m["stored"] for m in build.metrics) == 20_000
+    members = [r["key"] for r in df.collect()]
+    assert build.contain(members).all()
+    # below the threshold the classic single-blob build is returned
+    small = df.limit(1000)
+    b2 = build_cuckoo_filter(small, "key", auto_shard=5_000)
+    assert not isinstance(b2, ShardedCuckooBuild)
+
+
+def test_auto_shard_respects_exclusions(spark):
+    """unique_global / explicit params / table partials never route."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.sharded import ShardedCuckooBuild
+
+    df = spark.range(12_000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("key"))
+    b = build_cuckoo_filter(df, "key", mode="unique_global", auto_shard=5_000)
+    assert not isinstance(b, ShardedCuckooBuild)
+    assert sum(m["distinct_keys"] for m in b.metrics) == 12_000
+    b = build_cuckoo_filter(df, "key", capacity=12_000,
+                            partial_format="table", auto_shard=5_000)
+    assert not isinstance(b, ShardedCuckooBuild)
