@@ -492,28 +492,133 @@ def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
 # ---------------------------------------------------------------------------
 
 
+def choose_embedding_lsh(n: int, threshold: float,
+                         target_recall: float = 0.98,
+                         target_bucket: int = 64) -> tuple[int, int]:
+    """Auto-size (n_planes, n_tables) for banded hyperplane LSH.
+
+    ρ = P[one plane agrees] = 1 − acos(threshold)/π. Planes per table:
+    enough that the mean bucket stays ≤ target_bucket (p ≥ log2(n /
+    target_bucket) — the within-bucket self-join must not go quadratic
+    as n grows) and at least ln(0.7)/ln(ρ) so one band keeps ≥70% of
+    true pairs; clamped to [8, 32]. Tables: enough independent bands
+    that 1 − (1 − ρ^p)^T ≥ target_recall, clamped to [1, 16]."""
+    import math
+
+    rho = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    rho = min(rho, 1.0 - 1e-9)
+    p_recall = int(round(math.log(0.7) / math.log(rho)))
+    p_bucket = (int(math.ceil(math.log2(n / target_bucket)))
+                if n > target_bucket else 0)
+    n_planes = min(max(p_recall, p_bucket, 8), 32)
+    per_band = rho ** n_planes
+    if per_band >= target_recall:
+        n_tables = 1
+    else:
+        n_tables = int(math.ceil(math.log(1.0 - target_recall)
+                                 / math.log(1.0 - per_band)))
+    return n_planes, min(max(n_tables, 1), 16)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, vec_col: str, id_col: str,
-    threshold: float = 0.95, n_planes: int = 16,
+    threshold: float = 0.95,
+    n_planes: int | None = None, n_tables: int | None = None,
+    seed: int = 7, bucket_cap: int | None = None,
+    approx_count: int | None = None, target_recall: float = 0.98,
+    log_drops: bool = True,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold via random-hyperplane LSH buckets +
-    exact cosine verification (numpy matmul per bucket)."""
-    from cuckoo_filter_spark.operators.similarity import add_hyperplane_bucket
+    """Pairs with cosine ≥ threshold via BANDED multi-table hyperplane
+    LSH + exact cosine verification (same banding shape as the MinHash
+    path): T independent tables of p sign-bit planes each; a pair is a
+    candidate if it shares ANY table's bucket. p scales with log2(n) so
+    the mean bucket size stays bounded as the corpus grows (a fixed p
+    makes the within-bucket self-join quadratic at 10⁹+ vectors), and T
+    restores recall to target_recall. Identical vectors share every
+    bucket, so exact-dup recall is 1 regardless of sizing.
 
-    bucketed = add_hyperplane_bucket(df.select(id_col, vec_col), vec_col, n_planes)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cands = a.join(
-        b,
-        on=[
-            F.col("a.bucket") == F.col("b.bucket"),
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-        ],
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"a.{vec_col}").alias("vec_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col(f"b.{vec_col}").alias("vec_b"),
+    Scale shape: one UDF pass computes all T bucket ids; only the slim
+    (id, table, bucket) rows are exploded/joined (vectors move only for
+    deduped candidate pairs, joined back by id); the (id, buckets) frame
+    is eagerly localCheckpoint-ed so the self-join branches don't
+    recompute the projection.
+
+    bucket_cap: optional per-(table, bucket) membership cap for skewed
+    corpora (e.g. a hot all-zeros embedding) — members beyond the cap
+    are dropped from candidate generation and the dropped volume is
+    surfaced via warnings.warn (log_drops), never silently.
+
+    approx_count: corpus size hint for auto-sizing (skips the count()
+    scan when the caller already knows it)."""
+    import warnings
+
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from cuckoo_filter_spark.operators.similarity import (
+        _as_matrix,
+        _hyperplanes,
     )
+
+    spark = df.sparkSession
+    if n_planes is None or n_tables is None:
+        n = approx_count if approx_count is not None else df.count()
+        auto_p, auto_t = choose_embedding_lsh(max(n, 1), threshold,
+                                              target_recall)
+        n_planes = n_planes if n_planes is not None else auto_p
+        n_tables = n_tables if n_tables is not None else auto_t
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_tables * n_planes, seed)
+    bp = spark.sparkContext.broadcast(planes)
+    T, P = n_tables, n_planes
+
+    @pandas_udf("array<long>")
+    def all_buckets(vecs: pd.Series) -> pd.Series:
+        mat = _as_matrix(vecs)
+        proj = mat @ bp.value.T  # [n, T*P]
+        bits = (proj > 0).astype(np.uint64)
+        shifts = np.arange(P, dtype=np.uint64)
+        vals = np.empty((len(mat), T), dtype=np.int64)
+        for t in range(T):
+            bb = bits[:, t * P:(t + 1) * P]
+            vals[:, t] = (bb << shifts).sum(axis=1, dtype=np.uint64).astype(
+                np.int64)
+        return pd.Series(list(vals))
+
+    slim = df.select(id_col, all_buckets(F.col(vec_col)).alias("__bks"))
+    slim = slim.localCheckpoint(eager=True)  # one projection pass; both
+    # self-join branches read the checkpoint (GC-managed, unlike persist)
+    bucketed = slim.select(
+        id_col, F.posexplode("__bks").alias("__table", "__bucket"))
+    if bucket_cap is not None:
+        w = Window.partitionBy("__table", "__bucket").orderBy(id_col)
+        ranked = bucketed.withColumn("__rn", F.row_number().over(w))
+        if log_drops:
+            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
+            if n_dropped:
+                warnings.warn(
+                    f"embedding_near_dup_pairs: {n_dropped} (id, table, "
+                    f"bucket) memberships over bucket_cap={bucket_cap} "
+                    f"dropped — pairs inside over-cap buckets may be missed")
+        bucketed = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__table") == F.col("b.__table"),
+                F.col("a.__bucket") == F.col("b.__bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    joined = cands.join(va, "id_a").join(vb, "id_b")
     dot = F.aggregate(
         F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
         F.lit(0.0),
@@ -523,4 +628,4 @@ def embedding_near_dup_pairs(
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a2, x: a2 + x)
     )
     cos = (dot / (norm(F.col("vec_a")) * norm(F.col("vec_b")))).alias("cosine")
-    return cands.select("id_a", "id_b", cos).where(F.col("cosine") >= threshold)
+    return joined.select("id_a", "id_b", cos).where(F.col("cosine") >= threshold)

@@ -218,3 +218,87 @@ def test_content_hash_dedup_verify_restores_collisions(spark, monkeypatch):
     # unverified mode shows why the verify pass exists
     merged = dedup_by_content_hash(df, "text", keep="min", verify=False)
     assert merged.count() == 1
+
+
+def test_choose_embedding_lsh_scales_with_n():
+    """Auto-sizing must grow planes with log2(n) so mean bucket size
+    stays bounded (a fixed plane count goes quadratic at 10^9)."""
+    from cuckoo_filter_spark.operators.dedup import choose_embedding_lsh
+
+    for n in (10_000, 10**6, 10**9, 10**12):
+        p, t = choose_embedding_lsh(n, 0.95)
+        assert 8 <= p <= 32 and 1 <= t <= 16
+        if p < 32:  # below the clamp the mean bucket is bounded
+            assert n / (1 << p) <= 64 + 1e-9, (n, p)
+    p6, _ = choose_embedding_lsh(10**6, 0.95)
+    p12, _ = choose_embedding_lsh(10**12, 0.95)
+    assert p12 > p6
+    # near-exact threshold: identical vectors collide in every table
+    p, t = choose_embedding_lsh(10**6, 0.999)
+    assert p >= 14
+
+
+def test_embedding_near_dup_million_planted(spark):
+    """Planted-cluster recall at 10^6 vectors with bounded candidate
+    volume: 100 planted near-identical pairs (cosine >= 0.9999) among
+    10^6 random dim-16 vectors must all surface, and the verified
+    output must contain nothing else (random dim-16 pairs never reach
+    cosine 0.999)."""
+    import pandas as pd
+
+    from cuckoo_filter_spark.operators.dedup import embedding_near_dup_pairs
+
+    n, dim, planted = 1_000_000, 16, 100
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        rng = np.random.default_rng(1000 + pid)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = rng.standard_normal((len(ids), dim))
+            out_ids = [ids]
+            out_vecs = [vecs]
+            low = ids < planted
+            if low.any():
+                pert = vecs[low] + rng.standard_normal(
+                    (int(low.sum()), dim)) * 1e-3
+                out_ids.append(ids[low] + 10_000_000)
+                out_vecs.append(pert)
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_ids),
+                "embedding": list(np.concatenate(out_vecs)),
+            })
+
+    base = spark.range(0, n, numPartitions=8)
+    df = base.mapInPandas(gen, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.999,
+        n_planes=20, n_tables=4, approx_count=n + planted,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted_found = sum((i, i + 10_000_000) in found for i in range(planted))
+    assert planted_found == planted, f"recall {planted_found}/{planted}"
+    assert len(found) == planted, f"unexpected extra pairs: {len(found)}"
+
+
+def test_embedding_near_dup_bucket_cap_warns(spark):
+    """A hot bucket (many identical vectors) past bucket_cap drops
+    memberships VISIBLY (warnings.warn), never silently."""
+    import warnings
+
+    from cuckoo_filter_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)]
+    rows += [(100 + i, [float(x) for x in np.random.default_rng(5).standard_normal(4)])
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.99,
+            n_planes=8, n_tables=2, bucket_cap=5).collect()
+        assert any("bucket_cap" in str(x.message) for x in w)
+    # capped: only pairs among the 5 survivors per (table, bucket)
+    assert 0 < len(pairs) <= 2 * 10  # << C(50,2)
