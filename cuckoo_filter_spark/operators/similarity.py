@@ -26,21 +26,61 @@ def _as_matrix(series: pd.Series) -> np.ndarray:
     return np.array(list(series), dtype=np.float64)
 
 
+# How many query rows a DataFrame-queries brute-force scan will pull to
+# the driver for broadcast; beyond this, use ivf_top_k / lsh_top_k whose
+# DataFrame paths stay fully distributed (join on cell / bucket).
+BRUTE_FORCE_MAX_QUERIES = 100_000
+
+
+def _queries_df(spark, queries, query_id_col: str, query_vec_col: str):
+    """Normalize a queries input to a (query_id, qvec) DataFrame."""
+    if isinstance(queries, DataFrame):
+        return queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).cast("array<double>").alias("qvec"))
+    rows = [(int(q), [float(x) for x in v]) for q, v in queries]
+    return spark.createDataFrame(rows, "query_id long, qvec array<double>")
+
+
+def _collect_queries(queries, query_id_col: str, query_vec_col: str):
+    """Driver-side (id, vector) list from either input form; refuses to
+    pull an unbounded query table (brute force must broadcast the whole
+    query block to every partition)."""
+    if not isinstance(queries, DataFrame):
+        return list(queries)
+    n = queries.count()
+    if n > BRUTE_FORCE_MAX_QUERIES:
+        raise ValueError(
+            f"brute_force_top_k broadcasts all queries to every partition; "
+            f"{n} query rows exceed the {BRUTE_FORCE_MAX_QUERIES} cap — use "
+            f"ivf_top_k or lsh_top_k (their DataFrame paths join on "
+            f"cell/bucket without a driver collect)")
+    rows = queries.select(query_id_col, query_vec_col).collect()
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
 def brute_force_top_k(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    queries: list[tuple[int, list[float]]],
+    queries: "list[tuple[int, list[float]]] | DataFrame",
     k: int = 10,
     metric: str = "cosine",
     exclude_self: bool = True,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
 ) -> DataFrame:
-    """Exact top-k neighbors for each (query_id, vector) in ``queries``.
+    """Exact top-k neighbors for each (query_id, vector) in ``queries``
+    (a driver-side list or a DataFrame with (query_id_col,
+    query_vec_col); DataFrame inputs are capped at
+    BRUTE_FORCE_MAX_QUERIES because brute force broadcasts the whole
+    query block — a query *table* beyond that belongs on ivf/lsh).
 
     Returns (query_id, neighbor_id, score, rank) with rank 1..k by
     descending cosine (ties broken by neighbor_id for determinism).
     """
     spark = df.sparkSession
+    queries = _collect_queries(queries, query_id_col, query_vec_col)
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     qmat = np.array([q[1] for q in queries], dtype=np.float64)
     if metric == "cosine":
@@ -184,22 +224,51 @@ def build_ivf_index(
 
 def ivf_top_k(
     df: DataFrame, vec_col: str, id_col: str,
-    queries: list[tuple[int, list[float]]], k: int = 10,
+    queries: "list[tuple[int, list[float]]] | DataFrame", k: int = 10,
     n_cells: int = 64, nprobe: int = 8, seed: int = 11,
+    query_id_col: str = "query_id", query_vec_col: str = "qvec",
 ) -> DataFrame:
     """Approximate top-k via IVF: probe only the nprobe nearest cells per
-    query; exact cosine inside the probed cells."""
+    query; exact cosine inside the probed cells.
+
+    queries may be a driver-side list OR a DataFrame with
+    (query_id_col, query_vec_col) — the DataFrame path never collects:
+    cell assignment runs in a pandas UDF over the broadcast centroids
+    and the probe is a plain join on ``cell`` (AQE picks broadcast vs
+    shuffle by the query table's actual size), so a 10^8-row query
+    table works."""
     spark = df.sparkSession
     indexed, centers = build_ivf_index(df, vec_col, id_col, n_cells, seed=seed)
-    rows = []
-    for qid, vec in queries:
-        v = np.asarray(vec, dtype=np.float64)
-        d = ((centers - v) ** 2).sum(axis=1)
-        for c in np.argsort(d)[:nprobe]:
-            rows.append((qid, int(c), [float(x) for x in vec]))
-    qdf = spark.createDataFrame(rows, "query_id long, cell int, qvec array<double>")
+    if isinstance(queries, DataFrame):
+        qbase = _queries_df(spark, queries, query_id_col, query_vec_col)
+        bc = spark.sparkContext.broadcast(centers)
+        npb = nprobe
 
-    joined = indexed.join(F.broadcast(qdf), "cell")
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            mat = _as_matrix(vecs)
+            c = bc.value
+            d = ((mat**2).sum(1, keepdims=True) - 2 * mat @ c.T
+                 + (c**2).sum(1)[None, :])
+            nn = np.argsort(d, axis=1)[:, :npb].astype(np.int32)
+            return pd.Series(list(nn))
+
+        qdf = (qbase.withColumn("__cells", probe_cells(F.col("qvec")))
+               .select("query_id", "qvec",
+                       F.explode("__cells").alias("cell")))
+        joined = indexed.join(qdf, "cell")
+    else:
+        rows = []
+        for qid, vec in queries:
+            v = np.asarray(vec, dtype=np.float64)
+            d = ((centers - v) ** 2).sum(axis=1)
+            for c in np.argsort(d)[:nprobe]:
+                rows.append((qid, int(c), [float(x) for x in vec]))
+        qdf = spark.createDataFrame(
+            rows, "query_id long, cell int, qvec array<double>")
+        joined = indexed.join(F.broadcast(qdf), "cell")
     dot = F.aggregate(
         F.zip_with(F.col(vec_col).cast("array<double>"), "qvec", lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
@@ -262,41 +331,78 @@ def add_hyperplane_bucket(
     return df.withColumn(out_col, bucket(F.col(vec_col)))
 
 
+def _multiprobe_buckets(base: np.ndarray, n_planes: int,
+                        multiprobe_hamming: int) -> np.ndarray:
+    """[n] base buckets → [n, n_probes] probed buckets (base + all
+    hamming-1 [+ hamming-2] flips), vectorized."""
+    cols = [base]
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            cols.append(base ^ (1 << i))
+    if multiprobe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                cols.append(base ^ (1 << i) ^ (1 << j))
+    return np.stack(cols, axis=1)
+
+
 def lsh_top_k(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    queries: list[tuple[int, list[float]]],
+    queries: "list[tuple[int, list[float]]] | DataFrame",
     k: int = 10,
     n_planes: int = 12,
     multiprobe_hamming: int = 1,
     seed: int = 7,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
 ) -> DataFrame:
     """Approximate top-k: probe only LSH buckets within hamming ≤
     ``multiprobe_hamming`` of each query's bucket, exact cosine inside.
-    Recall rises with lower n_planes / higher multiprobe."""
+    Recall rises with lower n_planes / higher multiprobe.
+
+    queries may be a driver-side list OR a DataFrame — the DataFrame
+    path assigns multiprobe buckets inside a pandas UDF and joins on
+    ``bucket`` without any driver collect (query-table scale)."""
     spark = df.sparkSession
     bucketed = add_hyperplane_bucket(df.select(id_col, vec_col), vec_col, n_planes, seed)
-    planes = _hyperplanes(len(queries[0][1]), n_planes, seed)
 
-    rows = []
-    for qid, vec in queries:
-        v = np.asarray(vec, dtype=np.float64)
-        bits = (v @ planes.T > 0).astype(np.uint64)
-        base = int((bits << np.arange(n_planes, dtype=np.uint64)).sum())
-        buckets = {base}
-        if multiprobe_hamming >= 1:
-            for i in range(n_planes):
-                buckets.add(base ^ (1 << i))
-        if multiprobe_hamming >= 2:
-            for i in range(n_planes):
-                for j in range(i + 1, n_planes):
-                    buckets.add(base ^ (1 << i) ^ (1 << j))
-        for b in buckets:
-            rows.append((qid, b, [float(x) for x in vec]))
-    qdf = spark.createDataFrame(rows, "query_id long, bucket long, qvec array<double>")
+    if isinstance(queries, DataFrame):
+        qbase = _queries_df(spark, queries, query_id_col, query_vec_col)
+        dim = len(df.select(vec_col).first()[0])
+        bp = spark.sparkContext.broadcast(_hyperplanes(dim, n_planes, seed))
+        npl, mph = n_planes, multiprobe_hamming
 
-    joined = bucketed.join(F.broadcast(qdf), "bucket")
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<long>")
+        def probe_buckets(vecs: pd.Series) -> pd.Series:
+            mat = _as_matrix(vecs)
+            bits = (mat @ bp.value.T > 0).astype(np.uint64)
+            base = (bits << np.arange(npl, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64).astype(np.int64)
+            return pd.Series(list(_multiprobe_buckets(base, npl, mph)))
+
+        qdf = (qbase.withColumn("__bks", probe_buckets(F.col("qvec")))
+               .select("query_id", "qvec",
+                       F.explode("__bks").alias("bucket"))
+               .dropDuplicates(["query_id", "bucket"]))
+        joined = bucketed.join(qdf, "bucket")
+    else:
+        planes = _hyperplanes(len(queries[0][1]), n_planes, seed)
+        rows = []
+        for qid, vec in queries:
+            v = np.asarray(vec, dtype=np.float64)
+            bits = (v @ planes.T > 0).astype(np.uint64)
+            base = int((bits << np.arange(n_planes, dtype=np.uint64)).sum())
+            for b in set(_multiprobe_buckets(
+                    np.array([base], dtype=np.int64), n_planes,
+                    multiprobe_hamming)[0].tolist()):
+                rows.append((qid, b, [float(x) for x in vec]))
+        qdf = spark.createDataFrame(
+            rows, "query_id long, bucket long, qvec array<double>")
+        joined = bucketed.join(F.broadcast(qdf), "bucket")
     dot = F.aggregate(
         F.zip_with(F.col(vec_col).cast("array<double>"), "qvec", lambda x, y: x * y),
         F.lit(0.0),
