@@ -199,8 +199,10 @@ def minhash_near_dup_pairs(
     if bands is None:
         bands, _ = choose_bands(n_perms, threshold)
     sigs = add_minhash_signatures(df, text_col, id_col, n_perms, k)
-    sigs.cache().count()  # eager: both join branches must hit the cache,
-    # not race to recompute the signature UDF
+    # eager localCheckpoint: one signature pass feeds every join branch
+    # (no recompute race), one job instead of cache()+count(), and the
+    # blocks are ContextCleaner-managed (cache() leaked across calls)
+    sigs = sigs.localCheckpoint(eager=True)
     bandsdf = _bands_from_sigs(sigs, id_col, n_perms, bands)
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
@@ -293,8 +295,9 @@ def simhash_near_dup_pairs(
     nblocks = max_hamming + 1
     block_bits = 64 // nblocks
     sh = add_simhash(df.select(id_col, text_col), text_col, "simhash", k)
-    sh = sh.select(id_col, "simhash").cache()
-    sh.count()  # eager cache: the self-join must not recompute the UDF
+    # eager localCheckpoint (not cache): self-join reads materialized
+    # blocks, no UDF recompute, GC-managed lifetime
+    sh = sh.select(id_col, "simhash").localCheckpoint(eager=True)
     blocks = sh.select(
         id_col,
         "simhash",
@@ -360,7 +363,10 @@ def connected_components(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .dropDuplicates()
     )
-    edges.cache().count()
+    # eager localCheckpoint: the whole upstream pair pipeline (LSH +
+    # verification) runs ONCE; every round's join reads the materialized
+    # edge blocks with truncated lineage (GC-managed, no unpersist)
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .dropDuplicates()
@@ -377,6 +383,7 @@ def connected_components(
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
                 "doc_id",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
@@ -394,22 +401,23 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
                 ).alias("component"),
+                # convergence flag threaded through the round's own
+                # columns: the old shape re-joined new vs old labels
+                # (an extra shuffle join + full recompute per round)
+                (F.least(
+                    F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
+                ) != F.col("__old")).alias("__changed"),
             )
         )
         # truncate lineage every round: the label frame feeds two joins
         # per iteration, so the un-checkpointed plan would double each
         # round (exponential analysis cost → driver OOM near round 10)
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # cheap local scan of the checkpointed blocks, no join
+        changed = new_labels.where(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
