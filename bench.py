@@ -158,10 +158,38 @@ def run_probe_bench(spark, n_rows: int) -> dict:
     }
 
 
+def _merge_best(runs: list[dict]) -> dict:
+    """Element-wise best-of-R for nested microbench dicts: rate keys
+    (*_per_sec) take the max across runs (the least-contended repeat);
+    everything else comes from the first run (sizes/loads are
+    deterministic)."""
+    out = {}
+    for k in runs[0]:
+        vs = [r[k] for r in runs]
+        if isinstance(vs[0], dict):
+            out[k] = _merge_best(vs)
+        elif isinstance(vs[0], (int, float)) and "per_sec" in k:
+            out[k] = max(vs)
+        else:
+            out[k] = vs[0]
+    return out
+
+
 def run_kernel_microbench() -> dict:
     """Single-core kernel rates mirroring the reference harness shape
     (cuckoofilter_test.go:113-187: Insert/Lookup, 32-byte keys, single
-    (4,8) and packed (4,9); here at capacity 1M, plus encode/decode)."""
+    (4,8) and packed (4,9); here at capacity 1M, plus encode/decode).
+
+    Best-of-R (SPARK_GRAFT_KERNEL_REPEATS, default 3): this section is
+    the artifact's contention-sanity row — BENCH_r02 recorded hash rates
+    3.2× below reality during a neighbor-noise burst, which made the
+    whole file self-contradictory. The best repeat approximates the
+    un-contended machine."""
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_KERNEL_REPEATS", "3")))
+    return _merge_best([_run_kernel_microbench_once() for _ in range(reps)])
+
+
+def _run_kernel_microbench_once() -> dict:
     import numpy as np
 
     from cuckoo_filter_spark.kernel.filter import CuckooKernel, split_hash
