@@ -405,6 +405,11 @@ def main() -> None:
                 "metric": "headline_suite_sec",
                 "value": total,
                 "unit": "sec",
+                # value includes best-of-R repeats of the throughput
+                # sections + R kernel reps (~35-55s of repeat overhead);
+                # query_sum_sec is the noise-comparable per-round gauge
+                "query_sum_sec": round(sum(qtimes.values()), 3),
+                "section_reps": reps,
                 "queries": qtimes,
                 "sf": sf,
                 "url_inserts_per_sec": build["inserts_per_sec"],
