@@ -102,7 +102,8 @@ def run_build_bench(spark, n_rows: int, sharded: bool = False,
 
         build = build_cuckoo_filter(
             pages, "url", capacity=n_rows, bits_per_item=16, mode="unique_local",
-            hash_fn=hash_fn,
+            hash_fn=hash_fn, auto_shard=None,  # this section measures the
+            # single-blob path on purpose; sharded is measured above
         )
         wall = time.perf_counter() - t0
         kern = build.kernel()

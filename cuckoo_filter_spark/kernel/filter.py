@@ -508,6 +508,9 @@ class CuckooKernel:
         if self.params != other.params:
             raise ValueError(f"cannot merge filters with different params: "
                              f"{self.params} vs {other.params}")
+        self._check_usable()
+        other._check_usable()  # a poisoned source's half-moved tags must
+        # not be harvested into a healthy filter (silent false negatives)
         bi, sj = np.nonzero(other.slots)
         tags = other.slots[bi, sj].astype(np.uint32)
         bi = bi.astype(np.int64)

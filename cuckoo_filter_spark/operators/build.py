@@ -126,15 +126,19 @@ class DistinctAccum:
     and NaN are dropped, so a float-NaN key can never inflate the count
     (NaN != NaN made Python sets accumulate one entry per NaN batch).
 
-    Memory: holds the partition's distinct keys; per-batch dedupe plus
-    periodic consolidation keeps the pending buffer bounded."""
+    Memory: holds the partition's distinct keys. Consolidation is
+    amortized-linear: new batches buffer until the buffered volume
+    reaches max(threshold, size of the consolidated base) — a fixed
+    threshold alone would re-dedupe the whole base on EVERY batch once
+    the base outgrew it (quadratic at 10^7+ distinct keys/partition)."""
 
-    __slots__ = ("_parts", "_pending")
+    __slots__ = ("_parts", "_pending", "_base_len")
     _CONSOLIDATE_AT = 4_000_000
 
     def __init__(self) -> None:
         self._parts: list[pd.Series] = []
-        self._pending = 0
+        self._pending = 0  # buffered rows NOT yet in the consolidated base
+        self._base_len = 0
 
     def add(self, keys: pd.Series) -> None:
         u = keys.dropna().drop_duplicates()
@@ -142,17 +146,35 @@ class DistinctAccum:
             return
         self._parts.append(u)
         self._pending += len(u)
-        if self._pending >= self._CONSOLIDATE_AT and len(self._parts) > 1:
+        if self._pending >= max(self._CONSOLIDATE_AT, self._base_len):
             self._consolidate()
 
     def _consolidate(self) -> None:
-        self._parts = [pd.concat(self._parts, ignore_index=True).drop_duplicates()]
-        self._pending = len(self._parts[0])
+        if len(self._parts) > 1 or self._pending:
+            self._parts = [
+                pd.concat(self._parts, ignore_index=True).drop_duplicates()]
+            self._base_len = len(self._parts[0])
+            self._pending = 0
 
     def __len__(self) -> int:
-        if len(self._parts) > 1:
-            self._consolidate()
-        return self._pending
+        self._consolidate()
+        return self._base_len
+
+
+def canon_dedupe_pairs(params: CuckooParams, bi: np.ndarray,
+                       tags: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Keep the first occurrence per canonical (bucket-pair, tag) —
+    set semantics on the fingerprint space; orientation-independent via
+    the alt involution. Shared by the sparse builder, the shard pair
+    emitter and the deferred-route explode (one definition, one future
+    fix)."""
+    if len(bi) == 0:
+        return bi, tags
+    alt = params.alt(bi, tags)
+    canon = (np.minimum(bi, alt).astype(np.uint64) << np.uint64(32)) | tags
+    _, first = np.unique(canon, return_index=True)
+    first = np.sort(first)
+    return bi[first], tags[first]
 
 
 def hashes_of(pdf_col, hash_fn: str) -> np.ndarray:
@@ -198,12 +220,8 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
             tgs.append(tag)
         bi = np.concatenate(bis) if bis else np.zeros(0, dtype=np.int64)
         tags = np.concatenate(tgs) if tgs else np.zeros(0, dtype=np.uint32)
-        if unique and len(bi):
-            alt = params.alt(bi, tags)
-            canon = (np.minimum(bi, alt).astype(np.uint64) << np.uint64(32)) | tags
-            _, first = np.unique(canon, return_index=True)
-            first = np.sort(first)
-            bi, tags = bi[first], tags[first]
+        if unique:
+            bi, tags = canon_dedupe_pairs(params, bi, tags)
         wall_ms = (time.perf_counter() - t0) * 1000.0
         yield pd.DataFrame(
             {
@@ -343,23 +361,12 @@ def _sharded_from_hash_partials(parts, est_keys: int, num_shards: int,
                 h = unpack_hashes(bytes(blob))
                 shards = sh.shard_of(h, num_shards)
                 idx, tag = params.split(h)
-                order = np.argsort(shards, kind="stable")
-                ss = shards[order]
-                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
-                bounds = np.r_[bounds, len(ss)]
                 out_shard, out_n, out_blob = [], [], []
-                for k in range(len(bounds) - 1):
-                    lo, hi = bounds[k], bounds[k + 1]
-                    rs = order[lo:hi]
+                for s_id, rs in sh.iter_shard_groups(shards):
                     bi, tg = idx[rs], tag[rs]
-                    if unique and len(bi):
-                        alt = params.alt(bi, tg)
-                        canon = (np.minimum(bi, alt).astype(np.uint64)
-                                 << np.uint64(32)) | tg
-                        _, first = np.unique(canon, return_index=True)
-                        first = np.sort(first)
-                        bi, tg = bi[first], tg[first]
-                    out_shard.append(int(ss[lo]))
+                    if unique:
+                        bi, tg = canon_dedupe_pairs(params, bi, tg)
+                    out_shard.append(s_id)
                     out_n.append(len(bi))
                     out_blob.append(pack_pairs(bi, tg))
                 yield pd.DataFrame(

@@ -453,7 +453,11 @@ def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
     """Exact content dedup keeping one representative per distinct TEXT
     (min/max id). Two-phase agg on the 64-bit fingerprint, so the
     grouping shuffle moves only (fingerprint, id) pairs. ``id_col``
-    must be unique per row (it identifies the representative).
+    must be unique per row (it identifies the representative), and
+    ``df`` must be deterministic under re-execution (it feeds several
+    subplans, the usual Spark contract for uncached frames — persist()
+    a nondeterministic input like .sample() first; only the slim
+    fingerprint frame is checkpointed here, text bodies never are).
 
     The fingerprint pass materializes a SLIM (id, fingerprint) frame
     (16 B/row) via eager localCheckpoint: text bodies are never cached,
@@ -525,7 +529,22 @@ def choose_embedding_lsh(n: int, threshold: float,
     else:
         n_tables = int(math.ceil(math.log(1.0 - target_recall)
                                  / math.log(1.0 - per_band)))
-    return n_planes, min(max(n_tables, 1), 16)
+    n_tables = min(max(n_tables, 1), 16)
+    achieved = 1.0 - (1.0 - per_band) ** n_tables
+    if achieved < target_recall - 1e-9:
+        # the 16-table clamp can't reach the target at this (threshold,
+        # n) operating point — surface it, never silently under-recall
+        # (exact dups are still always found: identical vectors share
+        # every bucket)
+        import warnings
+
+        warnings.warn(
+            f"choose_embedding_lsh: {n_tables} tables x {n_planes} planes "
+            f"reaches ~{achieved:.2f} recall at threshold={threshold}, "
+            f"below target_recall={target_recall} (the table clamp binds "
+            f"at this corpus size) — raise bucket sizes by passing "
+            f"n_planes explicitly, or accept the recall")
+    return n_planes, n_tables
 
 
 def embedding_near_dup_pairs(

@@ -51,7 +51,8 @@ def _partial_emitter(group_col: str, key_col: str, with_hashes: bool,
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts: list[pd.DataFrame] = []
-        pending = 0
+        pending = 0  # buffered rows NOT yet in the consolidated base
+        base_len = 0
         for pdf in batches:
             u = pdf[[group_col, key_col]].drop_duplicates()
             u = u[u[key_col].notna()]
@@ -59,9 +60,13 @@ def _partial_emitter(group_col: str, key_col: str, with_hashes: bool,
                 continue
             parts.append(u)
             pending += len(u)
-            if pending >= 4_000_000 and len(parts) > 1:
+            # amortized-linear: consolidate only once the new buffer
+            # rivals the base (a fixed threshold re-dedupes the whole
+            # base per batch once the base outgrows it — quadratic)
+            if pending >= max(4_000_000, base_len):
                 parts = [pd.concat(parts, ignore_index=True).drop_duplicates()]
-                pending = len(parts[0])
+                base_len = len(parts[0])
+                pending = 0
         if not parts:
             out = {group_col: [], "n": []}
             if with_hashes:

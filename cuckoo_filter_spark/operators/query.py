@@ -89,14 +89,25 @@ def might_contain_udf(spark, build: "CuckooBuild | bytes"):
     return might_contain
 
 
-def register_might_contain(spark, name: str, build: CuckooBuild | bytes) -> None:
+def register_might_contain(spark, name: str, build: "CuckooBuild | bytes") -> None:
     """Register the membership predicate as a SQL function, so pure-SQL
-    pipelines can use it: ``SELECT * FROM t WHERE <name>(url)``."""
-    blob = build.blob if isinstance(build, CuckooBuild) else build
-    hash_fn = build.hash_fn if isinstance(build, CuckooBuild) else "metro64"
+    pipelines can use it: ``SELECT * FROM t WHERE <name>(url)``.
+    Accepts a ShardedCuckooBuild (what build_cuckoo_filter returns past
+    its auto-shard threshold) — its metro64 probe is itself a pandas
+    UDF and registers the same way."""
+    from cuckoo_filter_spark.operators.sharded import (
+        ShardedCuckooBuild,
+        sharded_might_contain_udf,
+    )
+
+    hash_fn = getattr(build, "hash_fn", "metro64")
     if hash_fn != "metro64":
         raise ValueError("SQL registration supports metro64 builds "
                          "(xxhash64 probes compose a JVM expression)")
+    if isinstance(build, ShardedCuckooBuild):
+        spark.udf.register(name, sharded_might_contain_udf(spark, build))
+        return
+    blob = build.blob if isinstance(build, CuckooBuild) else build
     bcast = spark.sparkContext.broadcast(blob)
     bid = bcast._jbroadcast.id()
 

@@ -38,6 +38,7 @@ from cuckoo_filter_spark.hashing import metro64_batch
 from cuckoo_filter_spark.kernel.filter import CuckooKernel, CuckooProbe
 from cuckoo_filter_spark.operators.build import (
     DEFAULT_HEADROOM,
+    canon_dedupe_pairs,
     pack_pairs,
     unpack_pairs,
 )
@@ -48,6 +49,20 @@ SHARD_SCHEMA = (
     "shard int, rows bigint, stored bigint, kicks bigint, victim_used boolean, "
     "load_factor double, wall_ms double, blob binary"
 )
+
+
+def iter_shard_groups(shards: np.ndarray):
+    """Group row indices by shard id (stable within a shard): yields
+    (shard, row_indices). One stable integer argsort + boundary scan —
+    the shared grouping used by the pair emitter, the probe router and
+    the deferred-route explode."""
+    order = np.argsort(shards, kind="stable")
+    ss = shards[order]
+    bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+    bounds = np.r_[bounds, len(ss)]
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        yield int(ss[lo]), order[lo:hi]
 
 
 def shard_of(h: np.ndarray, num_shards: int) -> np.ndarray:
@@ -111,13 +126,7 @@ def _probe_sharded(
     if len(h) == 0:
         return out
     shards = shard_of(h, num_shards)
-    order = np.argsort(shards, kind="stable")
-    sh_sorted = shards[order]
-    bounds = np.flatnonzero(np.r_[True, sh_sorted[1:] != sh_sorted[:-1]])
-    bounds = np.r_[bounds, len(sh_sorted)]
-    for k in range(len(bounds) - 1):
-        lo, hi = bounds[k], bounds[k + 1]
-        s = int(sh_sorted[lo])
+    for s, rows in iter_shard_groups(shards):
         blob = blobs.get(s)
         if blob is None:
             continue
@@ -131,7 +140,6 @@ def _probe_sharded(
                 _SHARD_KERNEL_CACHE[ck] = kern
         else:
             kern = CuckooProbe(bytes(blob))
-        rows = order[lo:hi]
         idx, tag = params.split(h[rows])
         out[rows] = kern.contain_hashed(idx, tag)
     return out
@@ -158,26 +166,15 @@ def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: b
             h = hashes_of(keys, hash_fn)
             shards = shard_of(h, num_shards)
             idx, tag = params.split(h)
-            order = np.argsort(shards, kind="stable")
-            ss = shards[order]
-            bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
-            bounds = np.r_[bounds, len(ss)]
-            for k in range(len(bounds) - 1):
-                lo, hi = bounds[k], bounds[k + 1]
-                s = int(ss[lo])
-                rs = order[lo:hi]
+            for s, rs in iter_shard_groups(shards):
                 per_shard_bi.setdefault(s, []).append(idx[rs])
                 per_shard_tg.setdefault(s, []).append(tag[rs])
         out_shard, out_n, out_blob = [], [], []
         for s in sorted(per_shard_bi):
             bi = np.concatenate(per_shard_bi[s])
             tg = np.concatenate(per_shard_tg[s])
-            if unique and len(bi):
-                alt = params.alt(bi, tg)
-                canon = (np.minimum(bi, alt).astype(np.uint64) << np.uint64(32)) | tg
-                _, first = np.unique(canon, return_index=True)
-                first = np.sort(first)
-                bi, tg = bi[first], tg[first]
+            if unique:
+                bi, tg = canon_dedupe_pairs(params, bi, tg)
             out_shard.append(s)
             out_n.append(len(bi))
             out_blob.append(pack_pairs(bi, tg))

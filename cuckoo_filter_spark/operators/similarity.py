@@ -306,14 +306,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 
 
 def add_hyperplane_bucket(
-    df: DataFrame, vec_col: str, n_planes: int = 16, seed: int = 7, out_col: str = "bucket"
+    df: DataFrame, vec_col: str, n_planes: int = 16, seed: int = 7,
+    out_col: str = "bucket", planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Adds an int bucket = sign bits of ⟨v, plane_i⟩ (random-hyperplane
-    LSH; P[bit equal] = 1 − θ/π)."""
+    LSH; P[bit equal] = 1 − θ/π). Pass ``planes`` when the caller
+    already probed the dimension (skips the first() job)."""
     spark = df.sparkSession
-    first = df.select(vec_col).first()
-    dim = len(first[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    if planes is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0])
+        planes = _hyperplanes(dim, n_planes, seed)
     bp = spark.sparkContext.broadcast(planes)
 
     from pyspark.sql.functions import pandas_udf
@@ -366,12 +369,18 @@ def lsh_top_k(
     path assigns multiprobe buckets inside a pandas UDF and joins on
     ``bucket`` without any driver collect (query-table scale)."""
     spark = df.sparkSession
-    bucketed = add_hyperplane_bucket(df.select(id_col, vec_col), vec_col, n_planes, seed)
+    shared_planes = None
+    if isinstance(queries, DataFrame):
+        # probe the dimension ONCE: data bucketing and query bucketing
+        # share the same plane matrix
+        dim = len(df.select(vec_col).first()[0])
+        shared_planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = add_hyperplane_bucket(df.select(id_col, vec_col), vec_col,
+                                     n_planes, seed, planes=shared_planes)
 
     if isinstance(queries, DataFrame):
         qbase = _queries_df(spark, queries, query_id_col, query_vec_col)
-        dim = len(df.select(vec_col).first()[0])
-        bp = spark.sparkContext.broadcast(_hyperplanes(dim, n_planes, seed))
+        bp = spark.sparkContext.broadcast(shared_planes)
         npl, mph = n_planes, multiprobe_hamming
 
         from pyspark.sql.functions import pandas_udf

@@ -468,3 +468,34 @@ def test_encode_chunks_vacuum():
     local = np.random.default_rng(9)
     kern.add([local.bytes(16) for _ in range(4000)])
     assert b"".join(kern.encode_chunks(chunk_bytes=512)) == kern.to_bytes()
+
+
+def test_poisoned_kernel_blocks_all_ops_and_merge():
+    """A kernel poisoned by an unsnapshot kick-chain exhaustion must
+    refuse every subsequent operation — including being the SOURCE of a
+    merge (harvesting half-moved tags would create silent false
+    negatives) — until reset()."""
+    import numpy as np
+    import pytest
+
+    from cuckoo_filter_spark.kernel.filter import CuckooKernel, FilterFullError
+    from cuckoo_filter_spark.params import CuckooParams
+
+    params = CuckooParams(4, 16, 64)
+    bad = CuckooKernel(params)
+    bad._corrupt = True  # simulate the unsnapshot exhaustion path
+    idx = np.array([1], dtype=np.int64)
+    tag = np.array([7], dtype=np.uint32)
+    for op in (lambda: bad.add_hashed(idx, tag),
+               lambda: bad.add_unique_hashed(idx, tag),
+               lambda: bad.contain_hashed(idx, tag),
+               lambda: bad.delete_hashed(idx, tag),
+               lambda: bad.insert_pairs(idx, tag),
+               lambda: bad.to_bytes()):
+        with pytest.raises(FilterFullError, match="poisoned"):
+            op()
+    good = CuckooKernel(params)
+    with pytest.raises(FilterFullError, match="poisoned"):
+        good.merge(bad)
+    bad.reset()
+    assert bad.add_hashed(idx, tag).all()  # consistent again after reset

@@ -173,3 +173,54 @@ def test_auto_shard_respects_exclusions(spark):
     b = build_cuckoo_filter(df, "key", capacity=12_000,
                             partial_format="table", auto_shard=5_000)
     assert not isinstance(b, ShardedCuckooBuild)
+
+
+def test_distinct_accum_nan_null_and_amortized():
+    """NaN/None keys collapse (COUNT(DISTINCT) semantics) and the
+    consolidation threshold grows with the base (amortized-linear)."""
+    import numpy as np
+    import pandas as pd
+
+    from cuckoo_filter_spark.operators.build import DistinctAccum
+
+    acc = DistinctAccum()
+    acc.add(pd.Series([1.0, float("nan"), 2.0]))
+    acc.add(pd.Series([float("nan"), 2.0, 3.0, None]))
+    assert len(acc) == 3  # nulls/NaN dropped, not one-per-batch
+    # amortized growth: after consolidation the next trigger needs a
+    # buffer at least as large as the base
+    consolidations = 0
+
+    class Counting(DistinctAccum):
+        _CONSOLIDATE_AT = 10
+
+        def _consolidate(self):
+            nonlocal consolidations
+            if len(self._parts) > 1 or self._pending:
+                consolidations += 1
+            super()._consolidate()
+
+    acc2 = Counting()
+    for i in range(100):
+        acc2.add(pd.Series(np.arange(i * 5, i * 5 + 5)))
+    assert len(acc2) == 500
+    assert consolidations < 15  # fixed threshold would consolidate ~98x
+
+
+def test_register_might_contain_sharded(spark):
+    """SQL registration works for a routed ShardedCuckooBuild."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.query import register_might_contain
+    from cuckoo_filter_spark.operators.sharded import ShardedCuckooBuild
+
+    df = spark.range(8_000).select(
+        F.concat(F.lit("r"), F.col("id")).alias("key"))
+    build = build_cuckoo_filter(df, "key", capacity=8_000, auto_shard=1_000)
+    assert isinstance(build, ShardedCuckooBuild)
+    df.createOrReplaceTempView("reg_keys")
+    register_might_contain(spark, "cf_sharded", build)
+    n = spark.sql("SELECT count(*) AS n FROM reg_keys "
+                  "WHERE cf_sharded(key)").collect()[0]["n"]
+    assert n == 8_000
