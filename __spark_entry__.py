@@ -343,13 +343,14 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3 neighbors for the first 5 vectors."""
+    """Brute-force cosine top-3 neighbors for the first 5 vectors,
+    through the DataFrame-queries overload (no caller-side collect)."""
     from cuckoo_filter_spark.operators.similarity import brute_force_top_k
 
     emb = _t(spark, sf_dir, "embeddings")
-    qrows = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
-    out = brute_force_top_k(emb, "embedding", "vec_id", queries, k=3)
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    out = brute_force_top_k(emb, "embedding", "vec_id", qdf, k=3)
     return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
 
 
