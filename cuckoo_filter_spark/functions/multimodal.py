@@ -2,14 +2,20 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, batch
-shapes — is real and tested. The codec step is import-gated because
-this container ships no image/audio libraries: with PIL present the
-real decoder runs ('real' forces it, 'strict' uses it when available);
-without it, ``decode_mode='fake'`` produces a deterministic fake
-(metro64-seeded pixel/pcm block of the declared shape) so downstream
-feature extraction and tests exercise the full pipeline, and
-``decode_mode='strict'`` raises NotImplementedError rather than ever
-silently faking.
+shapes — is real and tested. Codec availability differs by modality:
+
+* image — import-gated: with PIL present the real decoder runs ('real'
+  forces it, 'strict' uses it when available); without it 'strict'
+  raises NotImplementedError rather than ever silently faking.
+* audio — WAV decodes FOR REAL via the stdlib ``wave`` module (no
+  external library); other codecs (mp3/flac/ogg) raise wave.Error in
+  real/strict modes rather than silently faking.
+* video — per-frame decode remains plumbing-only (frame indices expand
+  JVM-side; no video codec ships in this container).
+
+``decode_mode='fake'`` always produces a deterministic fake
+(metro64-seeded pixel/PCM block of the declared shape) so downstream
+feature extraction and tests exercise the full pipeline shape.
 """
 
 from __future__ import annotations
@@ -116,6 +122,124 @@ def image_features(df: DataFrame, decode_mode: str = "fake") -> DataFrame:
         decode_image_features(decode_mode),
         "media_id long, mean_r double, mean_g double, mean_b double, luma_std double",
     )
+
+
+def _real_decode_wav(payloads: pd.Series) -> list[np.ndarray]:
+    """WAV decode via the stdlib ``wave`` module (no external codec
+    needed): payload bytes → float64 mono PCM in [-1, 1]."""
+    import io
+    import wave
+
+    out = []
+    for p in payloads:
+        with wave.open(io.BytesIO(bytes(p))) as w:
+            width = w.getsampwidth()
+            dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[width]
+            arr = np.frombuffer(w.readframes(w.getnframes()),
+                                dtype=dt).astype(np.float64)
+            if width == 1:
+                arr -= 128.0
+            ch = w.getnchannels()
+            if ch > 1:
+                arr = arr.reshape(-1, ch).mean(axis=1)
+            out.append(arr / float(1 << (8 * width - 1)))
+    return out
+
+
+def _fake_decode_audio(payloads: pd.Series, sample_rates) -> list[np.ndarray]:
+    """Deterministic fake decode: 1 second of metro64-seeded uniform PCM
+    in [-1, 1] at the declared sample rate."""
+    seeds = metro64_batch(payloads)
+    out = []
+    for s, sr in zip(seeds, sample_rates):
+        rng = np.random.default_rng(int(s))
+        out.append(rng.uniform(-1.0, 1.0, size=max(int(sr), 1)))
+    return out
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, duration_sec double, rms double, peak double, "
+    "zero_cross_rate double"
+)
+
+
+def decode_audio_features(decode_mode: str = "fake"):
+    """mapInPandas fn: audio media rows → (media_id, duration_sec, rms,
+    peak, zero_cross_rate).
+
+    decode_mode:
+    * 'fake' — deterministic metro64-seeded PCM of the declared rate;
+      payloads need not be valid audio (pipeline tests).
+    * 'real' / 'strict' — stdlib ``wave`` decode: WAV payloads decode
+      for real with NO external library (unlike images, where PIL is
+      import-gated). Non-WAV codecs (mp3/flac/ogg) are not shipped in
+      this container: wave.Error propagates rather than silently
+      faking, which is the 'strict' contract.
+    """
+    if decode_mode not in ("fake", "real", "strict"):
+        raise ValueError(f"unknown decode_mode {decode_mode!r}")
+    use_real = decode_mode in ("real", "strict")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            aud = pdf[pdf["kind"] == "audio"]
+            if len(aud) == 0:
+                continue
+            if use_real:
+                pcm = _real_decode_wav(aud["payload"])
+                import io
+                import wave
+
+                srs = []
+                for p in aud["payload"]:
+                    with wave.open(io.BytesIO(bytes(p))) as w:
+                        srs.append(w.getframerate())
+            else:
+                srs = [max(int(s), 1) for s in aud["sample_rate"]]
+                pcm = _fake_decode_audio(aud["payload"], srs)
+            dur = np.array([len(a) / sr for a, sr in zip(pcm, srs)])
+            rms = np.array([float(np.sqrt(np.mean(a * a))) if len(a) else 0.0
+                            for a in pcm])
+            peak = np.array([float(np.abs(a).max()) if len(a) else 0.0
+                             for a in pcm])
+            zcr = np.array(
+                [float(np.mean(np.signbit(a[1:]) != np.signbit(a[:-1])))
+                 if len(a) > 1 else 0.0 for a in pcm])
+            yield pd.DataFrame(
+                {
+                    "media_id": aud["media_id"].to_numpy(),
+                    "duration_sec": dur,
+                    "rms": rms,
+                    "peak": peak,
+                    "zero_cross_rate": zcr,
+                }
+            )
+
+    return fn
+
+
+def audio_features(df: DataFrame, decode_mode: str = "fake") -> DataFrame:
+    return df.mapInPandas(decode_audio_features(decode_mode),
+                          AUDIO_FEATURES_SCHEMA)
+
+
+def synth_wav(freq_hz: float = 440.0, seconds: float = 0.25,
+              sample_rate: int = 16000, amplitude: float = 0.5) -> bytes:
+    """A real 16-bit mono WAV payload (stdlib wave) — deterministic sine
+    tone, for exercising the REAL audio decode branch in tests."""
+    import io
+    import wave
+
+    t = np.arange(int(sample_rate * seconds)) / sample_rate
+    pcm = (amplitude * np.sin(2 * np.pi * freq_hz * t)
+           * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:

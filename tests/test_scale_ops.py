@@ -265,3 +265,120 @@ def test_multimodal_decode_modes(spark):
         assert abs(rows[0]["mean_b"] - 30) < 1e-6
     with pytest.raises(ValueError):
         image_features(media, decode_mode="nope")
+
+
+def test_audio_features_real_wav_decode(spark):
+    """REAL audio decode (stdlib wave, no external codec): a synthetic
+    sine WAV must yield the analytic RMS (amp/sqrt(2)), peak (~amp) and
+    zero-crossing rate (~2f/sr)."""
+    from cuckoo_filter_spark.functions.multimodal import (
+        audio_features,
+        synth_wav,
+    )
+
+    sr, f, amp = 16000, 440.0, 0.5
+    wav = synth_wav(freq_hz=f, seconds=0.5, sample_rate=sr, amplitude=amp)
+    rows = [(1, "audio", bytearray(wav), 0, 0, sr, 0),
+            (2, "image", bytearray(b"\x00" * 16), 8, 8, 0, 0)]
+    from cuckoo_filter_spark.functions.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in audio_features(df, "real").collect()}
+    assert set(out) == {1}  # image rows don't leak into audio features
+    r = out[1]
+    assert abs(r["duration_sec"] - 0.5) < 1e-6
+    assert abs(r["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(r["peak"] - amp) < 0.01
+    assert abs(r["zero_cross_rate"] - 2 * f / sr) < 0.005
+
+
+def test_audio_features_fake_and_strict_nonwav(spark):
+    """fake mode is deterministic across calls; real/strict on a
+    non-WAV payload fails loud (wave.Error), never silently fakes."""
+    import wave
+
+    import pytest
+
+    from cuckoo_filter_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n_rows=12)
+    a = audio_features(media, "fake").orderBy("media_id").collect()
+    b = audio_features(media, "fake").orderBy("media_id").collect()
+    assert a == b and len(a) == 4  # every 3rd row is audio
+    assert all(0 < r["rms"] < 1 and r["duration_sec"] == 1.0 for r in a)
+    bad = spark.createDataFrame(
+        [(9, "audio", bytearray(b"not a wav"), 0, 0, 8000, 0)], MEDIA_SCHEMA)
+    with pytest.raises(Exception) as ei:
+        audio_features(bad, "strict").collect()
+    assert "wave" in repr(ei.value).lower() or "Error" in repr(ei.value)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_streaming_dedup_tws_gate_without_protobuf(spark):
+    """Without google.protobuf (this container), the tws path must fail
+    LOUD at plan time with a pointer to the applyInPandasWithState
+    implementation — never an opaque worker crash mid-query."""
+    if _has_protobuf():
+        pytest.skip("protobuf present — runtime path covered by "
+                    "test_streaming_dedup_tws")
+    from cuckoo_filter_spark.streaming.dedup_tws import streaming_dedup_tws
+
+    stream = spark.readStream.schema("rid long, url string").parquet(
+        "/tmp/does_not_matter_*.parquet")
+    with pytest.raises(ImportError, match="applyInPandasWithState"):
+        streaming_dedup_tws(stream, "url")
+
+
+def test_streaming_dedup_tws(spark, tmp_path):
+    """Same dedup contract through the Spark 4.x stateful API
+    (transformWithStateInPandas + ValueState blob); requires the RocksDB
+    state store provider, set for this query and restored after."""
+    if not _has_protobuf():
+        pytest.skip("transformWithState needs google.protobuf "
+                    "(not shipped in this container); the loud gate is "
+                    "tested instead")
+    from cuckoo_filter_spark.streaming.dedup_tws import streaming_dedup_tws
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(i % 40, f"url{i % 40}") for i in range(200)], "rid long, url string"
+    ).write.parquet(f"{src}/batch0.parquet")
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = spark.readStream.schema("rid long, url string").parquet(
+            src + "/*.parquet")
+        deduped = streaming_dedup_tws(stream, "url", num_shards=4,
+                                      shard_capacity=10000)
+        q = (
+            deduped.writeStream.format("memory").queryName("dedup_tws_out")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        out = spark.sql("select * from dedup_tws_out").collect()
+        urls = [r["url"] for r in out]
+        assert len(urls) == len(set(urls)) == 40
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
