@@ -124,9 +124,12 @@ def image_features(df: DataFrame, decode_mode: str = "fake") -> DataFrame:
     )
 
 
-def _real_decode_wav(payloads: pd.Series) -> list[np.ndarray]:
+def _real_decode_wav(payloads: pd.Series) -> list[tuple[np.ndarray, int]]:
     """WAV decode via the stdlib ``wave`` module (no external codec
-    needed): payload bytes → float64 mono PCM in [-1, 1]."""
+    needed): payload bytes → (float64 mono PCM in [-1, 1], sample_rate).
+    Handles all PCM widths wave can read — 8-bit unsigned, 16/32-bit
+    signed, and 3-byte 24-bit (sign-extended manually; numpy has no
+    int24 dtype)."""
     import io
     import wave
 
@@ -134,15 +137,26 @@ def _real_decode_wav(payloads: pd.Series) -> list[np.ndarray]:
     for p in payloads:
         with wave.open(io.BytesIO(bytes(p))) as w:
             width = w.getsampwidth()
-            dt = {1: np.uint8, 2: "<i2", 4: "<i4"}[width]
-            arr = np.frombuffer(w.readframes(w.getnframes()),
-                                dtype=dt).astype(np.float64)
-            if width == 1:
-                arr -= 128.0
+            raw = w.readframes(w.getnframes())
+            if width == 3:  # 24-bit PCM: assemble + sign-extend
+                b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                arr = (b[:, 0].astype(np.int64)
+                       | (b[:, 1].astype(np.int64) << 8)
+                       | (b[:, 2].astype(np.int64) << 16))
+                arr = ((arr ^ 0x800000) - 0x800000).astype(np.float64)
+            else:
+                dt = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(width)
+                if dt is None:
+                    raise wave.Error(
+                        f"unsupported PCM sample width {width} bytes")
+                arr = np.frombuffer(raw, dtype=dt).astype(np.float64)
+                if width == 1:
+                    arr -= 128.0
             ch = w.getnchannels()
             if ch > 1:
                 arr = arr.reshape(-1, ch).mean(axis=1)
-            out.append(arr / float(1 << (8 * width - 1)))
+            out.append((arr / float(1 << (8 * width - 1)),
+                        w.getframerate()))
     return out
 
 
@@ -186,14 +200,9 @@ def decode_audio_features(decode_mode: str = "fake"):
             if len(aud) == 0:
                 continue
             if use_real:
-                pcm = _real_decode_wav(aud["payload"])
-                import io
-                import wave
-
-                srs = []
-                for p in aud["payload"]:
-                    with wave.open(io.BytesIO(bytes(p))) as w:
-                        srs.append(w.getframerate())
+                decoded = _real_decode_wav(aud["payload"])
+                pcm = [d[0] for d in decoded]
+                srs = [d[1] for d in decoded]
             else:
                 srs = [max(int(s), 1) for s in aud["sample_rate"]]
                 pcm = _fake_decode_audio(aud["payload"], srs)

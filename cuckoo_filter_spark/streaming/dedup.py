@@ -24,6 +24,34 @@ from cuckoo_filter_spark.kernel.filter import CuckooKernel
 from cuckoo_filter_spark.params import CuckooParams
 
 
+def run_dedup_batches(kern, pdfs, key_col, cols, on_overflow: str,
+                      shard_capacity: int, params, shard_key, final_kern: list):
+    """The dedup micro-batch core, SHARED by both stateful APIs
+    (applyInPandasWithState here, transformWithStateInPandas in
+    dedup_tws) so the overflow/at-least-once semantics can never
+    diverge between them. Yields first-seen-row frames; stores the
+    final kernel into ``final_kern[0]`` (generators can't return it)."""
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        if kern.victim_used and on_overflow == "rotate":
+            kern = CuckooKernel(params)  # new dedup epoch
+        fresh = kern.add_unique(pdf[key_col])
+        if kern.victim_used:
+            if on_overflow == "error":
+                raise RuntimeError(
+                    f"streaming dedup shard {shard_key} overflowed "
+                    f"shard_capacity={shard_capacity}; raise capacity "
+                    f"or num_shards, or use on_overflow='passthrough'")
+            # saturated: add_unique rejects keys it could not store —
+            # emit the genuinely-new ones anyway (at-least-once)
+            fresh = fresh | ~kern.contain(pdf[key_col])
+        out = pdf.loc[fresh, cols]
+        if len(out):
+            yield out
+    final_kern[0] = kern
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     key_col: str,
@@ -69,25 +97,10 @@ def streaming_dedup(
             kern = CuckooKernel.from_bytes(bytes(blob))
         else:
             kern = CuckooKernel(params)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            if kern.victim_used and on_overflow == "rotate":
-                kern = CuckooKernel(params)  # new dedup epoch
-            fresh = kern.add_unique(pdf[key_col])
-            if kern.victim_used:
-                if on_overflow == "error":
-                    raise RuntimeError(
-                        f"streaming_dedup shard {key} overflowed "
-                        f"shard_capacity={shard_capacity}; raise capacity "
-                        f"or num_shards, or use on_overflow='passthrough'")
-                # saturated: add_unique rejects keys it could not store —
-                # emit the genuinely-new ones anyway (at-least-once)
-                fresh = fresh | ~kern.contain(pdf[key_col])
-            out = pdf.loc[fresh, cols]
-            if len(out):
-                yield out
-        state.update((bytearray(kern.to_bytes()),))
+        holder = [kern]
+        yield from run_dedup_batches(kern, pdfs, key_col, cols, on_overflow,
+                                     shard_capacity, params, key, holder)
+        state.update((bytearray(holder[0].to_bytes()),))
 
     shards = stream_df.withColumn(
         "__shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards))

@@ -42,31 +42,20 @@ class CuckooDedupProcessor(StatefulProcessor):
         self._blob = handle.getValueState("blob", "blob binary")
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        from cuckoo_filter_spark.streaming.dedup import run_dedup_batches
+
         if self._blob.exists():
             (blob,) = self._blob.get()
             kern = CuckooKernel.from_bytes(bytes(blob))
         else:
             kern = CuckooKernel(self._params)
-        for pdf in rows:
-            if len(pdf) == 0:
-                continue
-            if kern.victim_used and self._on_overflow == "rotate":
-                kern = CuckooKernel(self._params)  # new dedup epoch
-            fresh = kern.add_unique(pdf[self._key_col])
-            if kern.victim_used:
-                if self._on_overflow == "error":
-                    raise RuntimeError(
-                        f"streaming_dedup_tws shard {key} overflowed "
-                        f"shard_capacity={self._shard_capacity}; raise "
-                        f"capacity or num_shards, or use "
-                        f"on_overflow='passthrough'")
-                # at-least-once: emit genuinely-new keys that could not
-                # be recorded (a later duplicate may re-emit)
-                fresh = fresh | ~kern.contain(pdf[self._key_col])
-            out = pdf.loc[fresh, self._cols]
-            if len(out):
-                yield out
-        self._blob.update((bytearray(kern.to_bytes()),))
+        holder = [kern]
+        # the micro-batch core (overflow / rotate / at-least-once
+        # semantics) is SHARED with streaming_dedup — one definition
+        yield from run_dedup_batches(kern, rows, self._key_col, self._cols,
+                                     self._on_overflow, self._shard_capacity,
+                                     self._params, key, holder)
+        self._blob.update((bytearray(holder[0].to_bytes()),))
 
     def close(self) -> None:
         pass

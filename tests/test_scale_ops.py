@@ -294,11 +294,8 @@ def test_audio_features_real_wav_decode(spark):
 
 def test_audio_features_fake_and_strict_nonwav(spark):
     """fake mode is deterministic across calls; real/strict on a
-    non-WAV payload fails loud (wave.Error), never silently fakes."""
-    import wave
-
-    import pytest
-
+    non-WAV payload fails loud with wave.Error specifically ('file does
+    not start with RIFF id'), never silently fakes."""
     from cuckoo_filter_spark.functions.multimodal import (
         MEDIA_SCHEMA,
         audio_features,
@@ -312,9 +309,39 @@ def test_audio_features_fake_and_strict_nonwav(spark):
     assert all(0 < r["rms"] < 1 and r["duration_sec"] == 1.0 for r in a)
     bad = spark.createDataFrame(
         [(9, "audio", bytearray(b"not a wav"), 0, 0, 8000, 0)], MEDIA_SCHEMA)
-    with pytest.raises(Exception) as ei:
+    with pytest.raises(Exception, match="(?i)riff|wave\\.Error"):
         audio_features(bad, "strict").collect()
-    assert "wave" in repr(ei.value).lower() or "Error" in repr(ei.value)
+
+
+def test_audio_features_24bit_pcm(spark):
+    """24-bit PCM WAVs (sampwidth=3 — no numpy dtype) decode correctly:
+    manual sign-extension, analytic sine RMS."""
+    import io
+    import wave
+
+    from cuckoo_filter_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    sr, f, amp = 8000, 200.0, 0.25
+    t = np.arange(sr // 2) / sr  # 0.5 s
+    pcm = (amp * np.sin(2 * np.pi * f * t) * ((1 << 23) - 1)).astype(np.int64)
+    raw = bytearray()
+    for v in pcm:  # little-endian 3-byte two's complement
+        raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(sr)
+        w.writeframes(bytes(raw))
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), 0, 0, sr, 0)], MEDIA_SCHEMA)
+    r = audio_features(df, "real").collect()[0]
+    assert abs(r["duration_sec"] - 0.5) < 1e-6
+    assert abs(r["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(r["peak"] - amp) < 0.01
 
 
 def _has_protobuf() -> bool:
