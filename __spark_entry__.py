@@ -354,6 +354,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 through the DataFrame-queries path with nprobe ==
+    n_cells (every cell probed → exhaustive → EXACT, so the brute-force
+    SQL oracle applies; recall at nprobe < n_cells is pinned in pytest
+    where exactness can't be demanded)."""
+    from cuckoo_filter_spark.operators.similarity import ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    out = ivf_top_k(emb, "embedding", "vec_id", qdf, k=3,
+                    n_cells=16, nprobe=16)
+    return out.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets (ROLLUP) — built-in relational coverage."""
     orders = _t(spark, sf_dir, "orders")
@@ -670,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "heavy_hitters": q_heavy_hitters,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "rollup_orders": q_rollup_orders,
         "window_topn": q_window_topn,
         "set_ops": q_set_ops,
@@ -818,6 +834,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, event_type LIMIT 3
         """,
         "ann_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS score
+                FROM embeddings q JOIN embeddings e ON q.vec_id < 5
+                     AND e.vec_id <> q.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "ann_ivf_topk": """
             WITH scored AS (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                        list_cosine_similarity(q.embedding, e.embedding) AS score
