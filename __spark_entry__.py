@@ -448,6 +448,37 @@ def q_sharded_vacuum_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cogroup_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE 10^12 probe path end-to-end: sharded build persisted to
+    parquet BY THE EXECUTORS (no blob through the driver), then the
+    beyond-broadcast cogroup probe (sharded_might_contain_join
+    co-partitions probe rows with blob rows — each task loads exactly
+    one shard blob), exact verification, aggregate."""
+    import tempfile
+
+    from cuckoo_filter_spark.operators.sharded import (
+        build_sharded_cuckoo_filter,
+        sharded_might_contain_join,
+    )
+
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 4000)
+    li = _t(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="cogroup_shards_") + "/shards"
+    build = build_sharded_cuckoo_filter(supp, "s_suppkey", num_shards=8,
+                                        output_path=out)
+    flagged = sharded_might_contain_join(li, "l_suppkey", build)
+    pruned = flagged.where(F.col("might_contain")).drop("might_contain")
+    rhs = supp.select("s_suppkey")
+    exact = pruned.join(rhs, pruned["l_suppkey"] == rhs["s_suppkey"],
+                        "left_semi")
+    return (
+        exact.groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_linestatus")
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (built-in coverage): rich customers ∩/∖ building
     segment, as tagged counts."""
@@ -691,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "sharded_semi_join": q_sharded_semi_join,
         "sharded_vacuum_semi_join": q_sharded_vacuum_semi_join,
+        "cogroup_semi_join": q_cogroup_semi_join,
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_dedup_users": q_streaming_dedup_users,
         # approximate sketches, oracle-checked via deterministic bound
@@ -887,6 +919,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
             GROUP BY o_orderstatus
             ORDER BY o_orderstatus
+        """,
+        "cogroup_semi_join": """
+            SELECT l_linestatus, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal > 4000)
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
         """,
         "streaming_window_counts": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
