@@ -224,3 +224,28 @@ def test_register_might_contain_sharded(spark):
     n = spark.sql("SELECT count(*) AS n FROM reg_keys "
                   "WHERE cf_sharded(key)").collect()[0]["n"]
     assert n == 8_000
+
+
+def test_auto_shard_xxhash64_both_routes(spark):
+    """The router composes with the JVM-hash fast path: declared
+    capacity routes before the xxhash projection (sharded build hashes
+    itself), and the deferred path re-shuffles PREHASHED partials; the
+    dispatching probe answers with zero false negatives either way."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.query import might_contain_udf
+    from cuckoo_filter_spark.operators.sharded import ShardedCuckooBuild
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("xx"), F.col("id")).alias("key"))
+    for kwargs in ({"capacity": 20_000}, {}):  # declared / deferred
+        build = build_cuckoo_filter(df, "key", auto_shard=5_000,
+                                    hash_fn="xxhash64", **kwargs)
+        assert isinstance(build, ShardedCuckooBuild)
+        assert build.hash_fn == "xxhash64"
+        mc = might_contain_udf(spark, build)
+        assert df.where(mc(F.col("key"))).count() == 20_000
+        absent = spark.range(5_000).select(
+            F.concat(F.lit("absent"), F.col("id")).alias("key"))
+        assert absent.where(mc(F.col("key"))).count() <= 50
