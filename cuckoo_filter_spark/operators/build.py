@@ -57,9 +57,17 @@ DEFAULT_HEADROOM = 1.15
 # Above this many keys the single-blob build auto-routes to the sharded
 # build: the classic path collects 8 B/key of pair/hash blobs to the
 # driver, which is fine to ~10^7-10^8 keys and a driver OOM at 10^12.
-# The sharded path's combine runs per shard on executors; only the
-# per-shard metrics rows reach the driver.
+# The sharded path's combine runs per shard on executors. NOTE the
+# routed build still collects the finished shard TABLE blobs (~2.1 B/key
+# at f=16) unless shard_output_path is given — fine to ~10^9 keys
+# (~2.3 GB); beyond that pass shard_output_path so executors write the
+# blobs to storage and only metrics rows reach the driver (the
+# build_sharded_cuckoo_filter output_path contract).
 AUTO_SHARD_THRESHOLD = 10_000_000
+
+# Routed builds above this many keys warn if no shard_output_path is
+# given (the driver-side blob dict would exceed ~2 GB).
+BLOB_COLLECT_WARN_KEYS = 1_000_000_000
 
 _SPARSE_MAGIC = b"SPRS"
 _HASH_MAGIC = b"HSH8"
@@ -120,28 +128,33 @@ class CuckooBuild:
 
 
 class DistinctAccum:
-    """Vectorized exact raw-key distinct accumulator — replaces the
-    per-row Python ``set.update(tolist())`` pattern (hash-based pandas
-    dedupe, no per-row object churn). COUNT(DISTINCT) semantics: nulls
-    and NaN are dropped, so a float-NaN key can never inflate the count
-    (NaN != NaN made Python sets accumulate one entry per NaN batch).
+    """Vectorized exact distinct accumulator over pandas Series OR
+    DataFrames — replaces the per-row Python ``set.update(tolist())``
+    pattern (hash-based pandas dedupe, no per-row object churn).
+    With dropna=True (default, Series key columns): COUNT(DISTINCT)
+    semantics — nulls and NaN are dropped, so a float-NaN key can never
+    inflate the count (NaN != NaN made Python sets accumulate one entry
+    per NaN batch). Frame inputs (e.g. (group, key) pairs, where null
+    GROUPS must survive) pass dropna=False and filter nulls themselves.
 
-    Memory: holds the partition's distinct keys. Consolidation is
+    Memory: holds the partition's distinct values. Consolidation is
     amortized-linear: new batches buffer until the buffered volume
     reaches max(threshold, size of the consolidated base) — a fixed
     threshold alone would re-dedupe the whole base on EVERY batch once
-    the base outgrew it (quadratic at 10^7+ distinct keys/partition)."""
+    the base outgrew it (quadratic at 10^7+ distinct keys/partition).
+    ONE definition of this policy — grouped._partial_emitter shares it."""
 
-    __slots__ = ("_parts", "_pending", "_base_len")
+    __slots__ = ("_parts", "_pending", "_base_len", "_dropna")
     _CONSOLIDATE_AT = 4_000_000
 
-    def __init__(self) -> None:
-        self._parts: list[pd.Series] = []
+    def __init__(self, dropna: bool = True) -> None:
+        self._parts: list = []
         self._pending = 0  # buffered rows NOT yet in the consolidated base
         self._base_len = 0
+        self._dropna = dropna
 
-    def add(self, keys: pd.Series) -> None:
-        u = keys.dropna().drop_duplicates()
+    def add(self, keys) -> None:
+        u = (keys.dropna() if self._dropna else keys).drop_duplicates()
         if len(u) == 0:
             return
         self._parts.append(u)
@@ -155,6 +168,12 @@ class DistinctAccum:
                 pd.concat(self._parts, ignore_index=True).drop_duplicates()]
             self._base_len = len(self._parts[0])
             self._pending = 0
+
+    def consolidated(self):
+        """The deduped accumulation (Series or DataFrame; empty Series
+        when nothing was added)."""
+        self._consolidate()
+        return self._parts[0] if self._parts else pd.Series(dtype=object)
 
     def __len__(self) -> int:
         self._consolidate()
@@ -335,10 +354,21 @@ def _choose_num_shards(capacity: int) -> int:
     return max(32, next_pow2(max(int(np.ceil(capacity / 8_000_000)), 1)))
 
 
+def _warn_blob_collect(n_keys: int, shard_output_path: str | None) -> None:
+    if shard_output_path is None and n_keys > BLOB_COLLECT_WARN_KEYS:
+        import warnings
+
+        warnings.warn(
+            f"auto-shard routed build over ~{n_keys} keys will collect "
+            f"~{n_keys * 2.1 / 1e9:.1f} GB of shard table blobs to the "
+            f"driver; pass shard_output_path so executors write them to "
+            f"storage instead (only metrics rows then reach the driver)")
+
+
 def _sharded_from_hash_partials(parts, est_keys: int, num_shards: int,
                                 tags_per_bucket: int, bits_per_item: int,
                                 table_type: int, headroom: float, unique: bool,
-                                hash_fn: str):
+                                hash_fn: str, output_path: str | None = None):
     """Deferred-sizing build whose observed key count crossed the
     auto-shard threshold: re-shuffle the already-computed per-partition
     hash blobs by shard (NO second scan of the source) and run the
@@ -381,16 +411,23 @@ def _sharded_from_hash_partials(parts, est_keys: int, num_shards: int,
         explode, sh.PAIRS_SCHEMA)
     shards_df = pairs.groupBy("shard").applyInPandas(
         sh._shard_combiner(params, unique), sh.SHARD_SCHEMA)
-    mrows = shards_df.collect()
+    if output_path is not None:
+        # executors write the blobs; only metrics rows reach the driver
+        shards_df.write.mode("overwrite").parquet(output_path)
+        mrows = parts.sparkSession.read.parquet(output_path).drop(
+            "blob").collect()
+        blobs = {}
+    else:
+        mrows = shards_df.collect()
+        blobs = {int(r["shard"]): bytes(r["blob"]) for r in mrows}
     metrics = [
         {k: r[k] for k in ("shard", "rows", "stored", "kicks", "victim_used",
                            "load_factor", "wall_ms")}
         for r in mrows
     ]
     return sh.ShardedCuckooBuild(
-        params=params, num_shards=num_shards,
-        blobs={int(r["shard"]): bytes(r["blob"]) for r in mrows},
-        metrics=metrics, hash_fn=hash_fn)
+        params=params, num_shards=num_shards, blobs=blobs,
+        metrics=metrics, path=output_path, hash_fn=hash_fn)
 
 
 def build_cuckoo_filter(
@@ -407,6 +444,7 @@ def build_cuckoo_filter(
     params: CuckooParams | None = None,
     hash_fn: str = "metro64",
     auto_shard: int | None = AUTO_SHARD_THRESHOLD,
+    shard_output_path: str | None = None,
 ) -> CuckooBuild:
     """Build one global cuckoo filter over ``df[key_col]``.
 
@@ -450,6 +488,12 @@ def build_cuckoo_filter(
     ``unique_global`` (its repartition(key) pass exists for exact
     distinct counting; use grouped_distinct_count at scale), explicit
     ``params``, or ``partial_format='table'``. ``None`` disables.
+
+    shard_output_path: where a ROUTED build's shard blobs are written
+    (by the executors; only metrics rows reach the driver). Without it
+    a routed build driver-collects the shard table blobs (~2.1 B/key at
+    f=16) — fine to ~10^9 keys, warned about beyond. Ignored when the
+    build does not route.
     """
     if mode not in ("unique_local", "unique_global", "multiset"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -464,12 +508,16 @@ def build_cuckoo_filter(
             build_sharded_cuckoo_filter,
         )
 
+        _warn_blob_collect(capacity, shard_output_path)
+        if num_partitions:
+            df = df.repartition(num_partitions)  # honor the caller's
+            # parallelism request on the routed path too
         return build_sharded_cuckoo_filter(
             df, key_col, capacity=capacity,
             num_shards=_choose_num_shards(capacity),
             tags_per_bucket=tags_per_bucket, bits_per_item=bits_per_item,
             table_type=table_type, mode=mode, headroom=headroom,
-            hash_fn=hash_fn)
+            hash_fn=hash_fn, output_path=shard_output_path)
     inner_hash = hash_fn
     if hash_fn == "xxhash64":
         from pyspark.sql import functions as F
@@ -517,9 +565,11 @@ def build_cuckoo_filter(
             est = sum(r["stored"] for r in
                       parts.select("stored").collect())
             if est > auto_shard:
+                _warn_blob_collect(est, shard_output_path)
                 return _sharded_from_hash_partials(
                     parts, est, _choose_num_shards(est), tags_per_bucket,
-                    bits_per_item, table_type, headroom, unique, hash_fn)
+                    bits_per_item, table_type, headroom, unique, hash_fn,
+                    output_path=shard_output_path)
             rows = parts.collect()
         finally:
             parts.unpersist()

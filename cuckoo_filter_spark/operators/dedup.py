@@ -529,22 +529,17 @@ def choose_embedding_lsh(n: int, threshold: float,
     else:
         n_tables = int(math.ceil(math.log(1.0 - target_recall)
                                  / math.log(1.0 - per_band)))
-    n_tables = min(max(n_tables, 1), 16)
-    achieved = 1.0 - (1.0 - per_band) ** n_tables
-    if achieved < target_recall - 1e-9:
-        # the 16-table clamp can't reach the target at this (threshold,
-        # n) operating point — surface it, never silently under-recall
-        # (exact dups are still always found: identical vectors share
-        # every bucket)
-        import warnings
+    return n_planes, min(max(n_tables, 1), 16)
 
-        warnings.warn(
-            f"choose_embedding_lsh: {n_tables} tables x {n_planes} planes "
-            f"reaches ~{achieved:.2f} recall at threshold={threshold}, "
-            f"below target_recall={target_recall} (the table clamp binds "
-            f"at this corpus size) — raise bucket sizes by passing "
-            f"n_planes explicitly, or accept the recall")
-    return n_planes, n_tables
+
+def lsh_expected_recall(threshold: float, n_planes: int, n_tables: int) -> float:
+    """1 − (1 − ρ^p)^T for cosine-threshold pairs (ρ = 1 − θ/π).
+    Identical vectors always collide regardless (exact-dup recall 1)."""
+    import math
+
+    rho = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    rho = min(rho, 1.0 - 1e-9)
+    return 1.0 - (1.0 - rho ** n_planes) ** n_tables
 
 
 def embedding_near_dup_pairs(
@@ -594,6 +589,16 @@ def embedding_near_dup_pairs(
                                               target_recall)
         n_planes = n_planes if n_planes is not None else auto_p
         n_tables = n_tables if n_tables is not None else auto_t
+    achieved = lsh_expected_recall(threshold, n_planes, n_tables)
+    if achieved < target_recall - 1e-9:
+        # never silently under-recall — warned on the pair ACTUALLY
+        # used, whether auto-chosen (table clamp binds) or overridden
+        warnings.warn(
+            f"embedding_near_dup_pairs: {n_tables} tables x {n_planes} "
+            f"planes reaches ~{achieved:.2f} expected recall at "
+            f"threshold={threshold}, below target_recall={target_recall} "
+            f"— lower n_planes / raise n_tables, or accept the recall "
+            f"(exact duplicates are still always found)")
     first = df.select(vec_col).first()
     dim = len(first[0])
     planes = _hyperplanes(dim, n_tables * n_planes, seed)
@@ -619,16 +624,23 @@ def embedding_near_dup_pairs(
     bucketed = slim.select(
         id_col, F.posexplode("__bks").alias("__table", "__bucket"))
     if bucket_cap is not None:
-        w = Window.partitionBy("__table", "__bucket").orderBy(id_col)
-        ranked = bucketed.withColumn("__rn", F.row_number().over(w))
         if log_drops:
-            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
+            # drop count from a plain groupBy over the checkpointed slim
+            # frame — one cheap aggregate, NOT a second pass of the
+            # row_number window below
+            n_dropped = (
+                bucketed.groupBy("__table", "__bucket").count()
+                .where(F.col("count") > bucket_cap)
+                .agg(F.sum(F.col("count") - bucket_cap).alias("d"))
+                .collect()[0]["d"]) or 0
             if n_dropped:
                 warnings.warn(
                     f"embedding_near_dup_pairs: {n_dropped} (id, table, "
                     f"bucket) memberships over bucket_cap={bucket_cap} "
                     f"dropped — pairs inside over-cap buckets may be missed")
-        bucketed = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn")
+        w = Window.partitionBy("__table", "__bucket").orderBy(id_col)
+        bucketed = (bucketed.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") <= bucket_cap).drop("__rn"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cands = (
         a.join(

@@ -34,7 +34,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from cuckoo_filter_spark.kernel.filter import CuckooKernel, CuckooProbe
-from cuckoo_filter_spark.operators.build import DEFAULT_HEADROOM, hashes_of
+from cuckoo_filter_spark.operators.build import (
+    DEFAULT_HEADROOM,
+    DistinctAccum,
+    hashes_of,
+)
 from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
 
 
@@ -50,30 +54,20 @@ def _partial_emitter(group_col: str, key_col: str, with_hashes: bool,
     keys are excluded (null groups are kept — SQL groups by NULL)."""
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts: list[pd.DataFrame] = []
-        pending = 0  # buffered rows NOT yet in the consolidated base
-        base_len = 0
+        # shared amortized consolidation policy (build.DistinctAccum);
+        # dropna=False — null GROUPS are legal (SQL groups by NULL),
+        # null KEYS are filtered per batch below
+        acc = DistinctAccum(dropna=False)
         for pdf in batches:
-            u = pdf[[group_col, key_col]].drop_duplicates()
-            u = u[u[key_col].notna()]
-            if len(u) == 0:
-                continue
-            parts.append(u)
-            pending += len(u)
-            # amortized-linear: consolidate only once the new buffer
-            # rivals the base (a fixed threshold re-dedupes the whole
-            # base per batch once the base outgrows it — quadratic)
-            if pending >= max(4_000_000, base_len):
-                parts = [pd.concat(parts, ignore_index=True).drop_duplicates()]
-                base_len = len(parts[0])
-                pending = 0
-        if not parts:
+            u = pdf[[group_col, key_col]]
+            acc.add(u[u[key_col].notna()])
+        alldf = acc.consolidated()
+        if len(alldf) == 0:
             out = {group_col: [], "n": []}
             if with_hashes:
                 out["blob"] = []
             yield pd.DataFrame(out)
             return
-        alldf = pd.concat(parts, ignore_index=True).drop_duplicates()
         groups, ns, blobs = [], [], []
         for g, sub in alldf.groupby(group_col, dropna=False, sort=False):
             groups.append(g)

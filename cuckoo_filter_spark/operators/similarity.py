@@ -48,14 +48,17 @@ def _collect_queries(queries, query_id_col: str, query_vec_col: str):
     query block to every partition)."""
     if not isinstance(queries, DataFrame):
         return list(queries)
-    n = queries.count()
-    if n > BRUTE_FORCE_MAX_QUERIES:
+    # ONE bounded job: limit(cap+1) both enforces the cap and fetches
+    # the rows (a count() + collect() pair would scan the query subplan
+    # twice)
+    rows = queries.select(query_id_col, query_vec_col).limit(
+        BRUTE_FORCE_MAX_QUERIES + 1).collect()
+    if len(rows) > BRUTE_FORCE_MAX_QUERIES:
         raise ValueError(
             f"brute_force_top_k broadcasts all queries to every partition; "
-            f"{n} query rows exceed the {BRUTE_FORCE_MAX_QUERIES} cap — use "
-            f"ivf_top_k or lsh_top_k (their DataFrame paths join on "
+            f"the query table exceeds the {BRUTE_FORCE_MAX_QUERIES} cap — "
+            f"use ivf_top_k or lsh_top_k (their DataFrame paths join on "
             f"cell/bucket without a driver collect)")
-    rows = queries.select(query_id_col, query_vec_col).collect()
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 

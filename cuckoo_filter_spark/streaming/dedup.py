@@ -24,13 +24,16 @@ from cuckoo_filter_spark.kernel.filter import CuckooKernel
 from cuckoo_filter_spark.params import CuckooParams
 
 
-def run_dedup_batches(kern, pdfs, key_col, cols, on_overflow: str,
-                      shard_capacity: int, params, shard_key, final_kern: list):
+def run_dedup_batches(pdfs, key_col, cols, on_overflow: str,
+                      shard_capacity: int, params, shard_key,
+                      kern_holder: list):
     """The dedup micro-batch core, SHARED by both stateful APIs
     (applyInPandasWithState here, transformWithStateInPandas in
     dedup_tws) so the overflow/at-least-once semantics can never
-    diverge between them. Yields first-seen-row frames; stores the
-    final kernel into ``final_kern[0]`` (generators can't return it)."""
+    diverge between them. The kernel lives in ``kern_holder[0]``: read
+    at entry, final state written back (generators can't return it) —
+    one source of truth, no duplicated positional/holder coupling."""
+    kern = kern_holder[0]
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
@@ -49,7 +52,7 @@ def run_dedup_batches(kern, pdfs, key_col, cols, on_overflow: str,
         out = pdf.loc[fresh, cols]
         if len(out):
             yield out
-    final_kern[0] = kern
+    kern_holder[0] = kern
 
 
 def streaming_dedup(
@@ -98,7 +101,7 @@ def streaming_dedup(
         else:
             kern = CuckooKernel(params)
         holder = [kern]
-        yield from run_dedup_batches(kern, pdfs, key_col, cols, on_overflow,
+        yield from run_dedup_batches(pdfs, key_col, cols, on_overflow,
                                      shard_capacity, params, key, holder)
         state.update((bytearray(holder[0].to_bytes()),))
 

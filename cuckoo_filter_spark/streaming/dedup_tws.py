@@ -52,7 +52,7 @@ class CuckooDedupProcessor(StatefulProcessor):
         holder = [kern]
         # the micro-batch core (overflow / rotate / at-least-once
         # semantics) is SHARED with streaming_dedup — one definition
-        yield from run_dedup_batches(kern, rows, self._key_col, self._cols,
+        yield from run_dedup_batches(rows, self._key_col, self._cols,
                                      self._on_overflow, self._shard_capacity,
                                      self._params, key, holder)
         self._blob.update((bytearray(holder[0].to_bytes()),))
