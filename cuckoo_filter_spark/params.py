@@ -50,13 +50,22 @@ def max_load_factor(tags_per_bucket: int) -> float:
 
 def vacuum_target_load(chunk_buckets: int, tags_per_bucket: int) -> float:
     """Safe sizing load for the vacuum layout: the kick walk cannot
-    leave its chunk, so achievable load depends on chunk size (empirical
-    on this kernel, with margin; pinned by test_vacuum load tests)."""
+    leave its chunk, so achievable load depends on chunk size.
+
+    Table re-measured round 3 (b=4, f=16, 8 seeds, up to 256 chunks —
+    worst chunk governs, so more chunks ⇒ lower min): achieved min load
+    64→0.78, 128→0.84, 256→0.91, 512→0.92, 1024→0.94, 2048→0.94,
+    4096→0.95. Targets sit ≥0.02 under the measured min (the previous
+    0.82 default was ABOVE chunk 64's 0.78 ceiling — an overflow
+    hazard for explicitly tiny chunks; auto-chunking floors at 256).
+    ≥2048 keeps 0.95: sizing rounds capacity UP to a chunk multiple and
+    builders add headroom, so the realized load sits well under target
+    (pinned by test_vacuum load tests)."""
     base = max_load_factor(tags_per_bucket)
     if chunk_buckets >= 2048:
         return min(base, 0.95)
-    table = {1024: 0.92, 512: 0.90, 256: 0.86}
-    return min(base, table.get(chunk_buckets, 0.82))
+    table = {1024: 0.92, 512: 0.90, 256: 0.88, 128: 0.82}
+    return min(base, table.get(chunk_buckets, 0.75))
 
 
 @dataclass(frozen=True)

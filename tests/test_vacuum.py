@@ -180,3 +180,28 @@ def test_vacuum_b8_fallback_holds_capacity():
         ok = kern.add_unique(keys)
         assert kern.contain(keys).all(), f"false negative (seed {seed})"
         assert int((~ok).sum()) <= 3  # canon dupes only
+
+
+@pytest.mark.parametrize("chunk", [64, 128, 256])
+def test_vacuum_small_chunk_sized_capacity_holds(chunk):
+    """Explicit small chunks: a filter sized via the (re-measured)
+    target table must hold its declared capacity. Regression for the
+    chunk-64 hazard: the old 0.82 default target sat ABOVE that chunk
+    size's ~0.78 achievable ceiling, so sized filters could overflow."""
+    from cuckoo_filter_spark.params import vacuum_target_load
+
+    target = vacuum_target_load(chunk, 4)
+    nb = chunk * 32  # enough chunks that the worst chunk governs
+    n = int(nb * 4 * target)
+    p = CuckooParams(4, 16, nb, TABLE_VACUUM, chunk)
+    kern = CuckooKernel(p)
+    rng = np.random.default_rng(chunk)
+    h = rng.integers(0, 2**64, size=int(n * 1.3), dtype=np.uint64)
+    idx, tag = p.split(h)
+    alt = p.alt(idx, tag)
+    canon = (np.minimum(idx, alt).astype(np.uint64) << np.uint64(32)) | tag
+    _, first = np.unique(canon, return_index=True)
+    first = np.sort(first)[:n]
+    assert len(first) == n
+    stored = kern.insert_pairs(idx[first], tag[first], dedupe=True)
+    assert stored == n  # no overflow at the sizing target
