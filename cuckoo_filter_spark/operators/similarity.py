@@ -57,8 +57,9 @@ def _collect_queries(queries, query_id_col: str, query_vec_col: str):
         raise ValueError(
             f"brute_force_top_k broadcasts all queries to every partition; "
             f"the query table exceeds the {BRUTE_FORCE_MAX_QUERIES} cap — "
-            f"use ivf_top_k or lsh_top_k (their DataFrame paths join on "
-            f"cell/bucket without a driver collect)")
+            f"use ivf_top_k (nprobe=n_cells gives EXACT distributed top-k "
+            f"for a query table of any size) or lsh_top_k (approximate); "
+            f"both join on cell/bucket without a driver collect)")
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
