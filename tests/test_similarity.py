@@ -126,7 +126,7 @@ def test_brute_force_dataframe_queries_cap(spark):
     old = sim.BRUTE_FORCE_MAX_QUERIES
     sim.BRUTE_FORCE_MAX_QUERIES = 100
     try:
-        with pytest.raises(ValueError, match="ivf_top_k or lsh_top_k"):
+        with pytest.raises(ValueError, match="ivf_top_k"):
             brute_force_top_k(data, "embedding", "vec_id", big_q, k=2)
     finally:
         sim.BRUTE_FORCE_MAX_QUERIES = old
