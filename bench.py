@@ -386,8 +386,10 @@ def main() -> None:
 
     # throughput sections are best-of-R (like the scaling protocol):
     # this shared VM shows up to ~2× run-to-run noise from neighbor
-    # contention; the best repeat approximates the un-contended host
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    # contention (observed 7× on the probe section inside one burst);
+    # the best repeat approximates the un-contended host. R=3 because
+    # bursts have been observed spanning two consecutive repeats.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
     def best_of(fn, key):
         runs = [fn() for _ in range(reps)]
