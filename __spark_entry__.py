@@ -578,6 +578,54 @@ def q_streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qn).agg(F.count(F.lit(1)).alias("n_users"))
 
 
+def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed sketch aggregation, oracle-checked: daily HLL
+    distinct-user estimates maintained in GroupState (one mergeable
+    sketch per window, update mode) must land within 4σ of each day's
+    exact distinct count — the estimate is deterministic given (p,
+    data), so the per-day boolean is exact; n_exact pins the count."""
+    from pyspark.sql import Window
+
+    from cuckoo_filter_spark.streaming.windowed import windowed_distinct_count
+
+    _ensure_package(spark)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = _stream_source(spark, sf_dir, "events").select(
+            F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        est = windowed_distinct_count(stream, "ts", "user_id",
+                                      window="1 day", watermark="1 hour",
+                                      p=14)
+        qn = _run_stream(est, "winhll", "update")
+        w = Window.partitionBy("window_start").orderBy(F.desc("updates"))
+        final = (
+            spark.table(qn).withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                    "estimate")
+        )
+        ev = _t(spark, sf_dir, "events")
+        exact = (
+            ev.withColumn(
+                "day",
+                F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd"))
+            .groupBy("day").agg(F.countDistinct("user_id").alias("n_exact"))
+        )
+        rel = 1.04 / float(2 ** 7)  # p=14 → 1.04/sqrt(2^14)
+        return (
+            final.join(exact, "day")
+            .select(
+                "day",
+                (F.abs(F.col("estimate") - F.col("n_exact"))
+                 / F.col("n_exact") <= 4 * rel).alias("within_4sigma"),
+                "n_exact")
+            .orderBy("day")
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-user estimate, oracle-checked via the reference's own
     bound-check protocol (cuckoofilter.go:226-244 asserts an FP bound the
@@ -725,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cogroup_semi_join": q_cogroup_semi_join,
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_dedup_users": q_streaming_dedup_users,
+        "streaming_windowed_hll": q_streaming_windowed_hll,
         # approximate sketches, oracle-checked via deterministic bound
         # booleans (the sketches are deterministic given the data) plus
         # exact SQL-recomputable columns; pytest additionally pins the
@@ -950,6 +999,14 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (SELECT * FROM rich INTERSECT
                                           SELECT * FROM building)) AS n
             ORDER BY op
+        """,
+        "streaming_windowed_hll": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   TRUE AS within_4sigma,
+                   COUNT(DISTINCT user_id) AS n_exact
+            FROM events
+            GROUP BY 1
+            ORDER BY day
         """,
         "hll_distinct_estimate": """
             SELECT TRUE AS within_4sigma,
