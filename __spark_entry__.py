@@ -312,6 +312,33 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi join — the companion sketch surface to the
+    cuckoo prune (same prune-then-verify pattern, no false negatives):
+    mergeable distributed Bloom build over high-value order keys,
+    broadcast probe over lineitem, exact verification."""
+    from cuckoo_filter_spark.sketches import BloomSketch
+    from cuckoo_filter_spark.sketches.base import build_sketch
+    from cuckoo_filter_spark.sketches.bloom import bloom_might_contain_udf
+
+    li = _t(spark, sf_dir, "lineitem")
+    hi = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    n = hi.count()
+    bloom, _ = build_sketch(
+        hi, "o_orderkey", lambda: BloomSketch(capacity=max(n, 64), fpp=0.01))
+    mc = bloom_might_contain_udf(spark, bloom)
+    pruned = li.where(mc(F.col("l_orderkey")))
+    rhs = hi.select("o_orderkey")
+    exact = pruned.join(rhs, pruned["l_orderkey"] == rhs["o_orderkey"],
+                        "left_semi")
+    return (
+        exact.groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_linestatus")
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min candidate pruning + exact verification: top-3 event
     types by count. CMS never underestimates, so candidates within the
@@ -762,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_hash_dedup": q_content_hash_dedup,
         "near_dup_clusters": q_near_dup_clusters,
         "embedding_dedup": q_embedding_dedup,
+        "bloom_semi_join": q_bloom_semi_join,
         "heavy_hitters": q_heavy_hitters,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -908,6 +936,14 @@ def oracle_sql() -> dict[str, str]:
             FROM batch a JOIN batch b
               ON a.embedding = b.embedding AND a.vec_id < b.vec_id
             ORDER BY id_a, id_b
+        """,
+        "bloom_semi_join": """
+            SELECT l_linestatus, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 250000)
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
         """,
         "heavy_hitters": """
             SELECT event_type, COUNT(*) AS n

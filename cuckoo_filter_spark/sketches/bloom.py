@@ -13,6 +13,7 @@ import math
 import struct
 
 import numpy as np
+import pandas as pd
 
 from cuckoo_filter_spark.hashing import metro64_batch
 
@@ -83,3 +84,35 @@ class BloomSketch:
         out.bits = np.frombuffer(data[24:], dtype=np.uint8).copy()
         out.n_items = n_items
         return out
+
+
+_BLOOM_CACHE: dict[int, "BloomSketch"] = {}
+
+
+def bloom_might_contain_udf(spark, sketch: "BloomSketch | bytes"):
+    """Broadcast Bloom membership predicate: ``f(col) -> boolean
+    Column`` (no false negatives ⇒ safe semi-join pruning, same
+    prune-then-verify pattern as the cuckoo ``might_contain_udf``).
+    The decoded sketch is cached per executor process."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    blob = sketch.to_bytes() if isinstance(sketch, BloomSketch) else sketch
+    bcast = spark.sparkContext.broadcast(blob)
+    bid = bcast._jbroadcast.id()
+
+    @pandas_udf("boolean")
+    def probe(keys: pd.Series) -> pd.Series:
+        sk = _BLOOM_CACHE.get(bid)
+        if sk is None:
+            if len(_BLOOM_CACHE) > 64:
+                _BLOOM_CACHE.clear()
+            sk = BloomSketch.from_bytes(bytes(bcast.value))
+            _BLOOM_CACHE[bid] = sk
+        return pd.Series(sk.contains(keys))
+
+    def might_contain(col):
+        c = F.col(col) if isinstance(col, str) else col
+        return probe(c)
+
+    return might_contain
