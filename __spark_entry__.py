@@ -480,7 +480,17 @@ def q_cogroup_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet BY THE EXECUTORS (no blob through the driver), then the
     beyond-broadcast cogroup probe (sharded_might_contain_join
     co-partitions probe rows with blob rows — each task loads exactly
-    one shard blob), exact verification, aggregate."""
+    one shard blob), exact verification, aggregate.
+
+    Blob location: executors write shard rows to SPARK_GRAFT_SHARD_DIR
+    when set (on a real cluster this must be a shared filesystem —
+    HDFS/S3/NFS — because every executor writes and every probe task
+    reads); the driver-local tempdir fallback is correct ONLY in local
+    mode, where driver and executors share one filesystem. The tempdir
+    is registered for atexit cleanup."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     from cuckoo_filter_spark.operators.sharded import (
@@ -490,7 +500,13 @@ def q_cogroup_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 4000)
     li = _t(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="cogroup_shards_") + "/shards"
+    base = os.environ.get("SPARK_GRAFT_SHARD_DIR")
+    if base is None:
+        base = tempfile.mkdtemp(prefix="cogroup_shards_")
+        # deferred: the probe below is lazy — blobs are read when the
+        # caller collects, so the dir must outlive this function
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    out = base + "/shards"
     build = build_sharded_cuckoo_filter(supp, "s_suppkey", num_shards=8,
                                         output_path=out)
     flagged = sharded_might_contain_join(li, "l_suppkey", build)

@@ -138,13 +138,17 @@ def lang_id_udf():
 
 
 # ---------------------------------------------------------------------------
-# document fingerprinting — rolling-hash (winnowing-style) via numpy
+# document fingerprinting
 # ---------------------------------------------------------------------------
 
 
-def doc_fingerprint_udf(window: int = 16):
-    """64-bit content fingerprint: metro64 of the document's winnowed
-    min-hash shingle — robust to identical content, cheap, deterministic.
+def doc_fingerprint_udf():
+    """64-bit content fingerprint: metro64 over the WHOLE document text
+    — byte-exact content identity (two docs share a fingerprint iff the
+    bytes match, modulo 64-bit collisions that dedup_by_content_hash
+    verifies away). Deliberately NOT a winnowed/shingled similarity
+    sketch: near-dup robustness lives in minhash/simhash/embedding LSH
+    (operators.dedup); this is the exact-dedup primitive.
     Returns bigint (signed view of the uint64)."""
 
     @pandas_udf("long")

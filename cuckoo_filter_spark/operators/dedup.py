@@ -571,7 +571,14 @@ def embedding_near_dup_pairs(
     surfaced via warnings.warn (log_drops), never silently.
 
     approx_count: corpus size hint for auto-sizing (skips the count()
-    scan when the caller already knows it)."""
+    scan when the caller already knows it).
+
+    ``df`` must be deterministic under re-execution (same caveat as
+    dedup_by_content_hash): it is read by multiple subplans (the bucket
+    projection plus both vector re-join branches), so a nondeterministic
+    source — fresh uuid columns, unseeded sampling — can pair ids with
+    vectors from a different materialization. localCheckpoint or persist
+    such inputs first."""
     import warnings
 
     from pyspark.sql import Window
@@ -600,6 +607,12 @@ def embedding_near_dup_pairs(
             f"— lower n_planes / raise n_tables, or accept the recall "
             f"(exact duplicates are still always found)")
     first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        # empty corpus (or all-null vectors in row 1): no pairs — return
+        # an empty, correctly-typed frame instead of dying on len(None)
+        id_t = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, cosine double")
     dim = len(first[0])
     planes = _hyperplanes(dim, n_tables * n_planes, seed)
     bp = spark.sparkContext.broadcast(planes)

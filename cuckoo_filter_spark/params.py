@@ -58,13 +58,15 @@ def vacuum_target_load(chunk_buckets: int, tags_per_bucket: int) -> float:
     4096→0.95. Targets sit ≥0.02 under the measured min (the previous
     0.82 default was ABOVE chunk 64's 0.78 ceiling — an overflow
     hazard for explicitly tiny chunks; auto-chunking floors at 256).
-    ≥2048 keeps 0.95: sizing rounds capacity UP to a chunk multiple and
-    builders add headroom, so the realized load sits well under target
-    (pinned by test_vacuum load tests)."""
+    Only ≥4096 keeps 0.95 (chunk 2048 measured min 0.94, so its target
+    is 0.92 — the same ≥0.02 margin rule as every other row): sizing
+    rounds capacity UP to a chunk multiple and builders add headroom,
+    so the realized load sits well under target (pinned by test_vacuum
+    load tests)."""
     base = max_load_factor(tags_per_bucket)
-    if chunk_buckets >= 2048:
+    if chunk_buckets >= 4096:
         return min(base, 0.95)
-    table = {1024: 0.92, 512: 0.90, 256: 0.88, 128: 0.82}
+    table = {2048: 0.92, 1024: 0.92, 512: 0.90, 256: 0.88, 128: 0.82}
     return min(base, table.get(chunk_buckets, 0.75))
 
 

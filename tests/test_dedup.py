@@ -152,6 +152,19 @@ def test_embedding_near_dup(spark, rng):
         assert r["cosine"] >= 0.99
 
 
+def test_embedding_near_dup_empty_input(spark):
+    """ADVICE r3: empty corpus must return an empty typed frame, not
+    die with a TypeError from first() returning None."""
+    from cuckoo_filter_spark.operators.dedup import embedding_near_dup_pairs
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id",
+                                     threshold=0.95, approx_count=0)
+    assert pairs.count() == 0
+    assert [f.name for f in pairs.schema.fields] == ["id_a", "id_b", "cosine"]
+    assert pairs.schema["id_a"].dataType.simpleString() == "bigint"
+
+
 def test_connected_components_chain(spark):
     from cuckoo_filter_spark.operators.dedup import (
         collapse_near_dup_clusters,
