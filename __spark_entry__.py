@@ -109,15 +109,15 @@ def q_vacuum_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct count via key-partitioned unique build: duplicates
-    co-locate after repartition(key), so partition-local RAW-key dedupe
-    is globally exact (the distinct_keys metric; fingerprint 'stored'
-    counts can undercount via canon-space collisions)."""
-    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    """Exact distinct count via the count-only path: repartition(key)
+    co-locates duplicates, partition-local RAW-key dedupe is globally
+    exact, and only summed counts reach the driver — NO filter blobs are
+    built or collected (the unique_global build pays 8 B/key for a
+    filter this query never used; VERDICT r3 #1)."""
+    from cuckoo_filter_spark.operators.build import count_distinct_exact
 
     ev = _t(spark, sf_dir, "events")
-    build = build_cuckoo_filter(ev, "user_id", mode="unique_global", bits_per_item=16)
-    n = sum(m["distinct_keys"] for m in build.metrics)
+    n = count_distinct_exact(ev, "user_id")
     return spark.createDataFrame([(n,)], "n_users bigint")
 
 

@@ -219,6 +219,44 @@ def metro64_batch(items, seed: int = DEFAULT_SEED) -> np.ndarray:
     return metro64_flat(flat, lens, seed)
 
 
+# --- xxHash64 of a single 64-bit word ---------------------------------------
+# Shard-id derivation needs a hash INDEPENDENT of the filter hash whose
+# bits feed bucket index (hi32) and tag (lo32): taking shard bits from
+# the same word confines each shard's index space to a slice once
+# log2(S) + log2(num_buckets) > 32 (ADVICE r3). This is xxHash64 for an
+# 8-byte input, from the published spec (Yann Collet, BSD) — the same
+# specialization Spark's XXH64.hashLong implements — with Spark's
+# default seed 42, so F.xxhash64(<long col>) is the JVM-side equivalent
+# (parity pinned by test_sharded.test_shard_hash_jvm_parity).
+
+_XP1 = np.uint64(0x9E3779B185EBCA87)
+_XP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XP3 = np.uint64(0x165667B19E3779F9)
+_XP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XP5 = np.uint64(0x27D4EB2F165667C5)
+SPARK_XXHASH64_SEED = 42
+
+
+def _rotl_np(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def xxh64_long_batch(h: np.ndarray, seed: int = SPARK_XXHASH64_SEED) -> np.ndarray:
+    """uint64[n] → uint64[n]: xxHash64 of each 64-bit word (8-byte-input
+    specialization; matches Spark's ``xxhash64`` over a long column at
+    the default seed)."""
+    h = h.astype(np.uint64, copy=False)
+    acc = np.uint64((seed + 0x27D4EB2F165667C5 + 8) & _MASK64)
+    out = acc ^ (_rotl_np(h * _XP2, 31) * _XP1)
+    out = _rotl_np(out, 27) * _XP1 + _XP4
+    out ^= out >> np.uint64(33)
+    out *= _XP2
+    out ^= out >> np.uint64(29)
+    out *= _XP3
+    out ^= out >> np.uint64(32)
+    return out
+
+
 def metro64_flat(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
     """Masked variable-length kernel. (A length-grouped variant with
     per-group fixed-length slicing was benchmarked and lost: the per-

@@ -180,6 +180,46 @@ class DistinctAccum:
         return self._base_len
 
 
+def count_distinct_exact(
+    df: DataFrame,
+    key_col: str,
+    num_partitions: int | None = None,
+) -> int:
+    """Exact global COUNT(DISTINCT key_col) with NO blob emission and no
+    per-key driver traffic — the count-only companion of the
+    ``mode='unique_global'`` build (which exists to produce a FILTER and
+    pays 8 B/key of pair blobs for it; at 10^9+ distinct keys that
+    collect is a driver OOM the count never needed).
+
+    Shape: repartition(key) co-locates duplicates, a mapInPandas pass
+    dedupes RAW keys per partition (vectorized DistinctAccum —
+    COUNT(DISTINCT) null semantics, exact under co-location), and the
+    per-partition counts are summed JVM-side; exactly ONE aggregated row
+    reaches the driver. Same two-phase shape as grouped_distinct_count
+    (grouped.py) with a single global group.
+
+    ``df.select(key).distinct().count()`` is the pure-JVM equivalent —
+    use it when no lineage is needed; this path exists so callers of the
+    build API get the identical raw-key semantics (and partition-local
+    dedupe, which never shuffles more than one row per partition after
+    the key shuffle) without constructing a filter.
+    """
+    from pyspark.sql import functions as F
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sel = df.select(key_col).repartition(n, F.col(key_col))
+
+    def counter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = DistinctAccum()
+        for pdf in batches:
+            acc.add(pdf[key_col])
+        yield pd.DataFrame({"distinct_keys": [len(acc)]})
+
+    parts = sel.mapInPandas(counter, "distinct_keys bigint")
+    row = parts.agg(F.sum("distinct_keys").alias("n")).collect()[0]
+    return int(row["n"] or 0)
+
+
 def canon_dedupe_pairs(params: CuckooParams, bi: np.ndarray,
                        tags: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Keep the first occurrence per canonical (bucket-pair, tag) —
@@ -368,7 +408,8 @@ def _warn_blob_collect(n_keys: int, shard_output_path: str | None) -> None:
 def _sharded_from_hash_partials(parts, est_keys: int, num_shards: int,
                                 tags_per_bucket: int, bits_per_item: int,
                                 table_type: int, headroom: float, unique: bool,
-                                hash_fn: str, output_path: str | None = None):
+                                hash_fn: str, output_path: str | None = None,
+                                distinct_total: int | None = None):
     """Deferred-sizing build whose observed key count crossed the
     auto-shard threshold: re-shuffle the already-computed per-partition
     hash blobs by shard (NO second scan of the source) and run the
@@ -405,6 +446,11 @@ def _sharded_from_hash_partials(parts, est_keys: int, num_shards: int,
                      # keeps the per-shard combine order deterministic
                      "src_partition": [int(pid)] * len(out_shard),
                      "n": out_n, "rows": [int(rows_n)] * len(out_shard),
+                     # per-shard raw-key counts were not computed on this
+                     # path (hash partials lost the raw keys); the exact
+                     # total travels via distinct_total instead
+                     "distinct_keys": pd.array(
+                         [None] * len(out_shard), dtype="Int64"),
                      "blob": out_blob})
 
     pairs = parts.select("partition_id", "rows", "blob").mapInPandas(
@@ -427,7 +473,8 @@ def _sharded_from_hash_partials(parts, est_keys: int, num_shards: int,
     ]
     return sh.ShardedCuckooBuild(
         params=params, num_shards=num_shards, blobs=blobs,
-        metrics=metrics, path=output_path, hash_fn=hash_fn)
+        metrics=metrics, path=output_path, hash_fn=hash_fn,
+        distinct_keys=distinct_total)
 
 
 def build_cuckoo_filter(
@@ -485,9 +532,12 @@ def build_cuckoo_filter(
     8 B/key of pair blobs to the driver, a driver OOM at 10^9+ keys.
     ``might_contain_udf`` and the semi/anti joins accept both build
     types, so the routing is transparent to query code. Not applied to
-    ``unique_global`` (its repartition(key) pass exists for exact
-    distinct counting; use grouped_distinct_count at scale), explicit
-    ``params``, or ``partial_format='table'``. ``None`` disables.
+    explicit ``params`` or ``partial_format='table'``. ``None``
+    disables. ``unique_global`` routes like the rest (the
+    repartition(key) co-location and the shard shuffle compose): the
+    routed build carries the exact distinct count in
+    ``build.distinct_keys``; callers that only need the COUNT should use
+    :func:`count_distinct_exact`, which never emits blobs at all.
 
     shard_output_path: where a ROUTED build's shard blobs are written
     (by the executors; only metrics rows reach the driver). Without it
@@ -502,7 +552,7 @@ def build_cuckoo_filter(
     if hash_fn not in ("metro64", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     may_route = (auto_shard is not None and params is None
-                 and partial_format == "sparse" and mode != "unique_global")
+                 and partial_format == "sparse")
     if may_route and capacity is not None and capacity > auto_shard:
         from cuckoo_filter_spark.operators.sharded import (
             build_sharded_cuckoo_filter,
@@ -562,14 +612,19 @@ def build_cuckoo_filter(
         # and combine on executors instead.
         parts = parts.persist()
         try:
-            est = sum(r["stored"] for r in
-                      parts.select("stored").collect())
+            mrows = parts.select("stored", "distinct_keys").collect()
+            est = sum(r["stored"] for r in mrows)
             if est > auto_shard:
                 _warn_blob_collect(est, shard_output_path)
+                # unique_global partials already carry exact raw-key
+                # distinct counts (the input was key-partitioned), so
+                # the routed build keeps the exact total
+                dk_total = (sum(r["distinct_keys"] or 0 for r in mrows)
+                            if count_keys else None)
                 return _sharded_from_hash_partials(
                     parts, est, _choose_num_shards(est), tags_per_bucket,
                     bits_per_item, table_type, headroom, unique, hash_fn,
-                    output_path=shard_output_path)
+                    output_path=shard_output_path, distinct_total=dk_total)
             rows = parts.collect()
         finally:
             parts.unpersist()

@@ -5,9 +5,12 @@ A single filter for 10^12 keys does not fit one process (f=16, b=4 →
 ~2 TB of table), and a single combiner is an Amdahl bottleneck. The
 sharded build keeps everything distributed:
 
-* shard id = top log2(S) bits of the shared metro64 hash — disjoint
-  from the bits used for bucket index (hash[32:32+log2(nb)]) and tag
-  (hash[0:32]), so per-shard index/tag distributions are unchanged.
+* shard id = top log2(S) bits of an independent re-hash (xxh64) of the
+  shared metro64 hash — independent of the bits used for bucket index
+  (hi32) and tag (lo32), so per-shard index/tag distributions stay
+  uniform at ANY shard count × table size (top-of-the-same-word shard
+  bits would collide with index bits once log2(S)+log2(nb) > 32 and
+  strand most buckets — ADVICE r3).
 * build: mapInPandas fingerprints each scan partition and emits one
   packed (bucket, tag) pair blob per (partition, shard); a single
   shuffle groups pair blobs by shard; applyInPandas runs the kick-loop
@@ -44,9 +47,11 @@ from cuckoo_filter_spark.operators.build import (
 )
 from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
 
-PAIRS_SCHEMA = "shard int, src_partition int, n bigint, rows bigint, blob binary"
+PAIRS_SCHEMA = ("shard int, src_partition int, n bigint, rows bigint, "
+                "distinct_keys bigint, blob binary")
 SHARD_SCHEMA = (
-    "shard int, rows bigint, stored bigint, kicks bigint, victim_used boolean, "
+    "shard int, rows bigint, stored bigint, distinct_keys bigint, "
+    "kicks bigint, victim_used boolean, "
     "load_factor double, wall_ms double, blob binary"
 )
 
@@ -66,18 +71,36 @@ def iter_shard_groups(shards: np.ndarray):
 
 
 def shard_of(h: np.ndarray, num_shards: int) -> np.ndarray:
-    """Top log2(S) hash bits — disjoint from index/tag bits."""
+    """Shard id = top log2(S) bits of an INDEPENDENT re-hash
+    (xxh64-of-word) of the filter hash — not of the filter hash itself.
+
+    Taking shard bits directly from h collides with the index bits once
+    log2(S) + log2(per-shard num_buckets) > 32 (index = hi32 masked /
+    modulo): each shard's hi32 would be confined to a 2^32/S slice,
+    leaving most buckets unreachable as primary and overflowing the
+    per-shard combine at ~10^10+ keys (certain at the advertised 10^12,
+    where S=2^17 and nb≈2^22 — ADVICE r3). Conditioning on a value of
+    the independent re-hash selects a pseudorandom subset of h, so each
+    shard's index/tag distribution stays uniform at ANY (S, num_buckets)
+    combination."""
+    from cuckoo_filter_spark.hashing import xxh64_long_batch
+
     if num_shards == 1:  # h >> 64 is undefined behavior in numpy/C
         return np.zeros(len(h), dtype=np.int32)
-    return (h >> np.uint64(64 - int(np.log2(num_shards)))).astype(np.int32)
+    g = xxh64_long_batch(h)
+    return (g >> np.uint64(64 - int(np.log2(num_shards)))).astype(np.int32)
 
 
 def _shard_expr_jvm(hcol, num_shards: int):
-    """JVM-side equivalent of shard_of over an xxhash64 column (the
-    shift is masked to 0 on the JVM for num_shards=1, so special-case)."""
+    """JVM-side equivalent of shard_of over an xxhash64 column:
+    F.xxhash64 of the LONG hash column is Spark's XXH64.hashLong — the
+    same 8-byte-input specialization xxh64_long_batch computes (parity
+    pinned by test_shard_hash_jvm_parity). The shift is masked to 0 on
+    the JVM for num_shards=1, so special-case."""
     if num_shards == 1:
         return F.lit(0)
-    return F.shiftrightunsigned(hcol, 64 - int(np.log2(num_shards))).cast("int")
+    return F.shiftrightunsigned(F.xxhash64(hcol),
+                                64 - int(np.log2(num_shards))).cast("int")
 
 
 @dataclass
@@ -88,6 +111,11 @@ class ShardedCuckooBuild:
     metrics: list[dict] = field(default_factory=list)
     path: str | None = None  # parquet dir of shard blob rows, if persisted
     hash_fn: str = "metro64"
+    # exact global COUNT(DISTINCT key) — set only by mode='unique_global'
+    # builds (raw-key dedupe under repartition(key) co-location; for
+    # hash_fn='xxhash64' it counts distinct 64-bit hashes, an undercount
+    # with probability ~n²/2^64)
+    distinct_keys: int | None = None
 
     def load_blobs(self, spark) -> dict[int, bytes]:
         if not self.blobs and self.path:
@@ -146,17 +174,23 @@ def _probe_sharded(
 
 
 def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: bool,
-                  hash_fn: str = "metro64"):
+                  hash_fn: str = "metro64", count_keys: bool = False):
     nb, f = params.num_buckets, params.bits_per_item
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        from cuckoo_filter_spark.operators.build import hashes_of
+        from cuckoo_filter_spark.operators.build import DistinctAccum, hashes_of
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         per_shard_bi: dict[int, list] = {}
         per_shard_tg: dict[int, list] = {}
+        # count_keys (unique_global): dedupe RAW (shard, key) pairs —
+        # under repartition(key) co-location the per-shard sums across
+        # partitions are the exact global per-shard distinct counts
+        # (COUNT(DISTINCT) null semantics: null keys excluded)
+        seen: DistinctAccum | None = (
+            DistinctAccum(dropna=False) if count_keys else None)
         rows = 0
         for pdf in batches:
             keys = pdf[key_col]
@@ -165,11 +199,18 @@ def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: b
             rows += len(keys)
             h = hashes_of(keys, hash_fn)
             shards = shard_of(h, num_shards)
+            if seen is not None:
+                frame = pd.DataFrame({"__shard": shards, key_col: keys})
+                seen.add(frame[frame[key_col].notna()])
             idx, tag = params.split(h)
             for s, rs in iter_shard_groups(shards):
                 per_shard_bi.setdefault(s, []).append(idx[rs])
                 per_shard_tg.setdefault(s, []).append(tag[rs])
-        out_shard, out_n, out_blob = [], [], []
+        dk_by_shard: dict[int, int] = {}
+        if seen is not None and len(seen):
+            sizes = seen.consolidated().groupby("__shard", sort=False).size()
+            dk_by_shard = {int(s): int(c) for s, c in sizes.items()}
+        out_shard, out_n, out_dk, out_blob = [], [], [], []
         for s in sorted(per_shard_bi):
             bi = np.concatenate(per_shard_bi[s])
             tg = np.concatenate(per_shard_tg[s])
@@ -177,10 +218,13 @@ def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: b
                 bi, tg = canon_dedupe_pairs(params, bi, tg)
             out_shard.append(s)
             out_n.append(len(bi))
+            out_dk.append(dk_by_shard.get(s) if count_keys else None)
             out_blob.append(pack_pairs(bi, tg))
         yield pd.DataFrame(
             {"shard": out_shard, "src_partition": [pid] * len(out_shard),
-             "n": out_n, "rows": [rows] * len(out_shard), "blob": out_blob}
+             "n": out_n, "rows": [rows] * len(out_shard),
+             "distinct_keys": pd.array(out_dk, dtype="Int64"),
+             "blob": out_blob}
         )
 
     return emit
@@ -200,11 +244,15 @@ def _shard_combiner(params: CuckooParams, unique: bool):
         bi = np.concatenate(bis) if bis else np.zeros(0, dtype=np.int64)
         tg = np.concatenate(tgs) if tgs else np.zeros(0, dtype=np.uint32)
         stored = kern.insert_pairs(bi, tg, dedupe=unique)
+        dk = pdf["distinct_keys"].sum(min_count=1)  # NaN → None when the
+        # emitter did not count raw keys (non-unique_global builds)
         return pd.DataFrame(
             {
                 "shard": [shard],
                 "rows": [int(pdf["n"].sum())],
                 "stored": [stored],
+                "distinct_keys": pd.array(
+                    [None if pd.isna(dk) else int(dk)], dtype="Int64"),
                 "kicks": [kern.kicks],
                 "victim_used": [kern.victim_used],
                 "load_factor": [kern.load_factor()],
@@ -237,14 +285,22 @@ def build_sharded_cuckoo_filter(
     driver); only the small metrics columns are collected. Otherwise
     blobs are collected into the returned object (test/interactive).
 
+    mode='unique_global' adds ONE extra shuffle — repartition(key) — so
+    duplicate keys co-locate and the emitter's partition-local raw-key
+    dedupe yields exact per-shard distinct counts (metrics rows gain a
+    ``distinct_keys`` column; the build's ``distinct_keys`` attribute is
+    their sum). The filter bytes are identical to unique_local (both
+    dedupe fingerprints); only the counting differs.
+
     table_type=TABLE_VACUUM composes with sharding (~25-45% smaller
-    shards): the shard id is the top log2(S) bits of the hash, and the
-    vacuum index is hi32 % num_buckets — within one shard hi32 spans a
-    contiguous 2^32/S slice, so each bucket receives floor/ceil((2^32/S)
-    / num_buckets) hash values, a relative bucket-load bias of at most
-    num_buckets·S/2^32 (≈0.8% at nb=2^20, S=32) that the sizing headroom
-    absorbs; the alternate-index XOR stays chunk-confined exactly as in
-    the single-filter layout (membership parity is pinned by
+    shards): the shard id comes from an independent re-hash of the key
+    hash (shard_of), so conditioning on a shard leaves each shard's hi32
+    — and therefore the vacuum index hi32 % num_buckets — uniformly
+    distributed at any (S, num_buckets) combination; there is no
+    slice-confinement bias to absorb (pre-r4 top-of-hash shard bits had
+    a num_buckets·S/2^32 bias that degenerated past 2^32 — ADVICE r3).
+    The alternate-index XOR stays chunk-confined exactly as in the
+    single-filter layout (membership parity is pinned by
     test_sharded_vacuum_*)."""
     if num_shards & (num_shards - 1) or num_shards <= 0:
         raise ValueError("num_shards must be a power of two")
@@ -265,8 +321,13 @@ def build_sharded_cuckoo_filter(
     )
 
     unique = mode != "multiset"
+    count_keys = mode == "unique_global"
+    if count_keys:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        sel = sel.repartition(n, F.col(key_col))
     pairs = sel.mapInPandas(
-        _pair_emitter(params, key_col, num_shards, unique, inner_hash), PAIRS_SCHEMA
+        _pair_emitter(params, key_col, num_shards, unique, inner_hash,
+                      count_keys=count_keys), PAIRS_SCHEMA
     )
     shards = pairs.groupBy("shard").applyInPandas(_shard_combiner(params, unique), SHARD_SCHEMA)
 
@@ -278,13 +339,15 @@ def build_sharded_cuckoo_filter(
         mrows = shards.collect()
         blobs = {int(r["shard"]): bytes(r["blob"]) for r in mrows}
     metrics = [
-        {k: r[k] for k in ("shard", "rows", "stored", "kicks", "victim_used",
-                           "load_factor", "wall_ms")}
+        {k: r[k] for k in ("shard", "rows", "stored", "distinct_keys",
+                           "kicks", "victim_used", "load_factor", "wall_ms")}
         for r in mrows
     ]
+    dk_total = (sum(m["distinct_keys"] or 0 for m in metrics)
+                if count_keys else None)
     return ShardedCuckooBuild(
         params=params, num_shards=num_shards, blobs=blobs, metrics=metrics,
-        path=output_path, hash_fn=hash_fn,
+        path=output_path, hash_fn=hash_fn, distinct_keys=dk_total,
     )
 
 
@@ -317,8 +380,15 @@ def sharded_might_contain_join(
     num_shards = build.num_shards
     hash_fn = build.hash_fn
 
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
     cols = probe.columns
-    out_schema = probe.schema.add(flag_col, "boolean")
+    # fresh StructType — StructType.add mutates in place, planting a
+    # phantom flag column in the caller's cached probe.schema (latent
+    # here because the withColumn below always rebuilt the schema, but
+    # the caller's own DataFrame object was still corrupted)
+    out_schema = StructType(list(probe.schema.fields)
+                            + [StructField(flag_col, BooleanType())])
 
     if hash_fn == "xxhash64":
         withsh = probe.withColumn("__h", F.xxhash64(F.col(key_col)))

@@ -142,6 +142,54 @@ def test_shard_of_single_shard():
     assert (shard_of(h, 1) == 0).all()
 
 
+def test_shard_hash_jvm_parity(spark):
+    """shard_of's independent re-hash (xxh64-of-word, seed 42) must
+    equal Spark's JVM xxhash64 over the same long column — the contract
+    that makes _shard_expr_jvm and the Python emitters route identically
+    for hash_fn='xxhash64' builds."""
+    from cuckoo_filter_spark.hashing import xxh64_long_batch
+    from cuckoo_filter_spark.operators.sharded import shard_of
+
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**64, 4096, dtype=np.uint64)
+    df = spark.createDataFrame(
+        [(int(np.int64(x)),) for x in h.view(np.int64)], "h long")
+    jvm = np.array([r["g"] for r in
+                    df.select(F.xxhash64("h").alias("g")).collect()],
+                   dtype=np.int64).view(np.uint64)
+    ours = xxh64_long_batch(h)
+    assert (ours == jvm).all()
+    # and the full shard derivation agrees with the JVM expression
+    from cuckoo_filter_spark.operators.sharded import _shard_expr_jvm
+    for s in (2, 32, 1 << 17):
+        jvm_sh = np.array([r["s"] for r in df.select(
+            _shard_expr_jvm(F.col("h"), s).alias("s")).collect()])
+        assert (shard_of(h, s) == jvm_sh).all(), s
+
+
+def test_shard_of_index_independence():
+    """ADVICE r3 (medium): with hashes confined to ONE shard, the
+    bucket-index distribution must still cover the whole table — the
+    regime log2(S)+log2(nb) > 32 where top-of-hash shard bits stranded
+    most buckets."""
+    from cuckoo_filter_spark.operators.sharded import shard_of
+    from cuckoo_filter_spark.params import CuckooParams
+
+    S = 16
+    nb = 1 << 29  # log2(S)+log2(nb) = 33 > 32: pre-fix, one shard's
+    # indices sat in one contiguous 2^28 half of the table
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**64, 400_000, dtype=np.uint64)
+    sh = shard_of(h, S)
+    one = h[sh == sh[0]]  # keys of a single shard
+    params = CuckooParams(4, 16, nb)
+    idx, _ = params.split(one)
+    # uniform coverage: indices from one shard span the full range in
+    # every 1/16th of the table (pre-fix they sat in one 2^32/S slice)
+    counts, _ = np.histogram(idx, bins=16, range=(0, nb))
+    assert (counts > 0).all(), counts
+
+
 def test_sharded_build_single_shard(spark, keys_df):
     build = build_sharded_cuckoo_filter(keys_df, "key", num_shards=1)
     assert set(build.blobs) == {0}

@@ -1,6 +1,7 @@
 """Spark E2E: distributed build/merge/query (SURVEY.md §5.2)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -158,8 +159,38 @@ def test_auto_shard_deferred_observed_count(spark):
     assert not isinstance(b2, ShardedCuckooBuild)
 
 
+def test_count_distinct_exact_no_blob_collect(spark, monkeypatch):
+    """VERDICT r3 #1: the count-only path must never move pair blobs —
+    exactly ONE driver collect, of ONE aggregated row, with no binary
+    column anywhere in the collected schema."""
+    from cuckoo_filter_spark.operators.build import count_distinct_exact
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 7_001).cast("string").alias("key"))
+    # null keys are excluded (COUNT(DISTINCT) semantics)
+    df = df.unionAll(spark.sql("SELECT CAST(NULL AS STRING) AS key"))
+
+    collected = []
+    cls = type(df)  # the CONCRETE DataFrame class (pyspark.sql.classic),
+    # not the abstract pyspark.sql.DataFrame — instances resolve collect
+    # on their own class, so patching the base would spy on nothing
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append((len(rows), self.schema.simpleString()))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    n = count_distinct_exact(df, "key")
+    assert n == 7_001
+    assert len(collected) == 1, collected
+    nrows, schema = collected[0]
+    assert nrows == 1 and "binary" not in schema, collected
+
+
 def test_auto_shard_respects_exclusions(spark):
-    """unique_global / explicit params / table partials never route."""
+    """explicit params / table partials never route."""
     from pyspark.sql import functions as F
 
     from cuckoo_filter_spark.operators.build import build_cuckoo_filter
@@ -167,12 +198,39 @@ def test_auto_shard_respects_exclusions(spark):
 
     df = spark.range(12_000).select(
         F.concat(F.lit("x"), F.col("id")).alias("key"))
-    b = build_cuckoo_filter(df, "key", mode="unique_global", auto_shard=5_000)
-    assert not isinstance(b, ShardedCuckooBuild)
-    assert sum(m["distinct_keys"] for m in b.metrics) == 12_000
     b = build_cuckoo_filter(df, "key", capacity=12_000,
                             partial_format="table", auto_shard=5_000)
     assert not isinstance(b, ShardedCuckooBuild)
+
+
+def test_auto_shard_unique_global_routes(spark):
+    """VERDICT r3 #1: unique_global now auto-shards like the other
+    modes; the routed build keeps the EXACT raw-key distinct count
+    (repartition(key) co-location + shard shuffle compose). Covers both
+    routes: deferred-observed (no capacity) and declared capacity."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.sharded import ShardedCuckooBuild
+
+    # 24k rows, 8k distinct (each key 3x) — duplicates must not inflate
+    df = spark.range(24_000).select(
+        F.concat(F.lit("u"), (F.col("id") % 8_000)).alias("key"))
+
+    # deferred-observed route (est = post-dedupe hash count = 8k > 5k)
+    b = build_cuckoo_filter(df, "key", mode="unique_global", auto_shard=5_000)
+    assert isinstance(b, ShardedCuckooBuild)
+    assert b.distinct_keys == 8_000
+    probe = b.contain(pd.Series([f"u{i}" for i in range(0, 8_000, 97)]))
+    assert probe.all()  # no false negatives through the routed build
+
+    # declared-capacity route: per-shard metrics carry exact counts
+    b2 = build_cuckoo_filter(df, "key", mode="unique_global",
+                             capacity=24_000, auto_shard=5_000)
+    assert isinstance(b2, ShardedCuckooBuild)
+    assert b2.distinct_keys == 8_000
+    per_shard = [m["distinct_keys"] for m in b2.metrics]
+    assert all(dk is not None for dk in per_shard) and sum(per_shard) == 8_000
 
 
 def test_distinct_accum_nan_null_and_amortized():
