@@ -148,12 +148,13 @@ def q_grouped_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group incremental dedup: docs whose (lang, text) is NOT in the
     seen corpus, via per-lang cuckoo filters (grouped_anti_join —
     definite non-members bypass the verification join), counted by
-    source."""
+    source. Probes through the beyond-broadcast cogroup path (r4): probe
+    rows route to blob rows by group, no driver dict of all blobs."""
     from cuckoo_filter_spark.operators.grouped import grouped_anti_join
 
     docs = _t(spark, sf_dir, "documents")
     seen = docs.where(F.col("doc_id") < 250)
-    new_docs = grouped_anti_join(docs, "lang", "text", seen)
+    new_docs = grouped_anti_join(docs, "lang", "text", seen, via="cogroup")
     return (
         new_docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_new"))
         .orderBy("source")

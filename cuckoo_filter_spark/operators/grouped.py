@@ -179,6 +179,13 @@ def grouped_might_contain_udf(spark, filters: DataFrame | dict):
     kernel inside an Arrow-batched pandas UDF. Keys whose group has no
     filter return False (nothing was inserted for that group).
 
+    Bound: this path materializes EVERY group's blob in a driver dict
+    and broadcasts the lot — right for modest group spaces (per-lang
+    filters: dozens of groups, MBs total). At 10^5+ groups × MB-scale
+    blobs the dict and the broadcast both blow up; use
+    :func:`grouped_might_contain_join` there (cogroup by group, no
+    driver materialization, no broadcast).
+
     metro64 probes only: the filters frame records the build hash_fn
     and any non-metro64 build is rejected here (probing an xxhash64
     build with metro64 fingerprints would silently answer False for
@@ -228,19 +235,110 @@ def grouped_might_contain_udf(spark, filters: DataFrame | dict):
     return might_contain
 
 
+def grouped_might_contain_join(
+    probe: DataFrame,
+    group_col: str,
+    key_col: str,
+    filters: DataFrame,
+    flag_col: str = "might_contain",
+    salt: int | None = None,
+) -> DataFrame:
+    """Beyond-broadcast grouped probe: cogroup the probe rows with the
+    per-group blob rows BY GROUP, so each task loads exactly ONE group's
+    kernel — no driver dict of all blobs, no broadcast. The probe path
+    for high-cardinality group spaces (10^5+ groups), where
+    grouped_might_contain_udf's collect+broadcast blows up; same shape
+    as sharded.sharded_might_contain_join with the group as the routing
+    key. One shuffle of the probe rows; blob rows shuffle once (tiny).
+
+    salt: groups are NOT uniform the way shards are — one hot group
+    (e.g. lang='en' at 30% of a corpus) funnels through one task. With
+    ``salt=R`` each blob row is replicated R ways and probe rows route
+    to (group, hash(key) % R), bounding the funnel to 1/R of the group
+    per task at the cost of shuffling R copies of each blob.
+
+    Returns probe columns + boolean ``flag_col``. Keys whose group has
+    no filter row get False. Supports both recorded hash_fns (xxhash64
+    probes pre-hash JVM-side, exactly like the sharded join)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    spark = probe.sparkSession
+    cols = probe.columns
+    # build a FRESH StructType: StructType.add mutates in place, so
+    # probe.schema.add(...) would plant a phantom flag column in the
+    # caller's DataFrame's cached schema
+    out_schema = StructType(list(probe.schema.fields)
+                            + [StructField(flag_col, BooleanType())])
+
+    fns = ([r["hash_fn"] for r in
+            filters.select("hash_fn").distinct().collect()]
+           if "hash_fn" in filters.columns else ["metro64"])
+    if len(fns) > 1:
+        raise ValueError(f"filters frame mixes hash_fns {sorted(fns)}")
+    hash_fn = fns[0] if fns else "metro64"
+
+    gcol = filters.columns[0]
+    blobs = filters.select(F.col(gcol).alias(group_col), "blob")
+    probe_k = probe
+    if hash_fn == "xxhash64":
+        probe_k = probe_k.withColumn("__h", F.xxhash64(F.col(key_col)))
+    group_keys = [group_col]
+    if salt is not None:
+        if salt <= 0:
+            raise ValueError("salt must be a positive replication count")
+        # deterministic per-key salt so identical keys still co-route;
+        # blob rows replicate across every salt value
+        probe_k = probe_k.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt)).cast("int"))
+        blobs = blobs.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        group_keys = [group_col, "__salt"]
+
+    def probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=cols + [flag_col])
+        out = left[cols].copy()
+        if len(right) == 0:
+            out[flag_col] = False
+            return out
+        kern = CuckooProbe(bytes(right["blob"].iloc[0]))
+        if hash_fn == "xxhash64":
+            h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
+            idx, tag = kern.params.split(h)
+            out[flag_col] = kern.contain_hashed(idx, tag)
+        else:
+            out[flag_col] = kern.contain(left[key_col])
+        return out
+
+    return (
+        probe_k.groupBy(*group_keys)
+        .cogroup(blobs.groupBy(*group_keys))
+        .applyInPandas(probe_group, out_schema)
+    )
+
+
 def grouped_anti_join(
     probe: DataFrame,
     group_col: str,
     key_col: str,
     seen: DataFrame,
     filters: DataFrame | None = None,
+    via: str = "broadcast",
     **build_kwargs,
 ) -> DataFrame:
     """Exact per-group anti join (rows of ``probe`` whose (group, key)
     does NOT appear in ``seen``), cuckoo-accelerated: definite
     non-members of their group's filter bypass the verification join;
     only maybe-members are checked with an exact left_anti on
-    (group, key). The per-group incremental-dedup pattern."""
+    (group, key). The per-group incremental-dedup pattern.
+
+    via='broadcast' (default) probes through the collected+broadcast
+    blob dict — right for modest group counts; via='cogroup' routes
+    probe rows to blob rows by group (grouped_might_contain_join) so
+    high-cardinality group spaces never materialize all blobs on the
+    driver."""
+    if via not in ("broadcast", "cogroup"):
+        raise ValueError(f"unknown via {via!r}")
     if build_kwargs.get("hash_fn", "metro64") != "metro64":
         raise ValueError(
             "grouped_anti_join probes with metro64; an xxhash64 grouped "
@@ -248,8 +346,12 @@ def grouped_anti_join(
             "hash_fn)")
     if filters is None:
         filters = build_grouped_filters(seen, group_col, key_col, **build_kwargs)
-    mc = grouped_might_contain_udf(probe.sparkSession, filters)
-    flagged = probe.withColumn("__maybe", mc(group_col, key_col))
+    if via == "cogroup":
+        flagged = grouped_might_contain_join(
+            probe, group_col, key_col, filters, flag_col="__maybe")
+    else:
+        mc = grouped_might_contain_udf(probe.sparkSession, filters)
+        flagged = probe.withColumn("__maybe", mc(group_col, key_col))
     definite_out = flagged.where(~F.col("__maybe")).drop("__maybe")
     maybe = flagged.where(F.col("__maybe")).drop("__maybe")
     rhs = seen.select(group_col, key_col).dropDuplicates([group_col, key_col])
