@@ -1,6 +1,6 @@
 """Windowed streaming sketch aggregation — event-time tumbling windows
 with watermark-based late-data handling, one mergeable sketch per
-(window, group) held in GroupState.
+(window, group) held in state.
 
 Pattern (SURVEY.md §2.2 streaming row): because every sketch here is
 mergeable, a streaming windowed aggregate is just "merge this batch's
@@ -8,6 +8,14 @@ partial into the window's state and emit the running estimate". Late
 rows within the watermark merge into their window like any other row;
 rows later than the watermark are dropped by Spark before reaching the
 state function.
+
+Both Spark stateful APIs are supported through ONE micro-batch core
+(``run_windowed_hll_batches``), the same dual-API shape as
+streaming.dedup / streaming.dedup_tws: ``api='apply'`` uses
+applyInPandasWithState (no extra deps), ``api='tws'`` uses
+transformWithStateInPandas (Spark 4 StatefulProcessor; needs protobuf
+and the RocksDB state store), so an applyInPandasWithState deprecation
+is a one-argument migration.
 """
 
 from __future__ import annotations
@@ -20,6 +28,50 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from cuckoo_filter_spark.sketches.hll import HLLSketch
 
+OUT_SCHEMA = "window_start timestamp, estimate double, updates bigint"
+STATE_SCHEMA = "blob binary, updates bigint"
+
+
+def run_windowed_hll_batches(
+    pdfs: Iterable[pd.DataFrame],
+    key_col: str,
+    p: int,
+    window_start,
+    blob: bytes | None,
+    updates: int,
+) -> tuple[bytes, int, pd.DataFrame]:
+    """Micro-batch core shared by BOTH stateful APIs (one definition of
+    the merge/emit semantics): fold this batch's keys into the window's
+    HLL and build the running-estimate row. Returns
+    (new_blob, new_updates, out_frame)."""
+    hll = (HLLSketch.from_bytes(bytes(blob)) if blob is not None
+           else HLLSketch(p=p))
+    n = 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        hll.update(pdf[key_col].astype(str))
+        n += len(pdf)
+    updates += n
+    frame = pd.DataFrame(
+        {
+            "window_start": [window_start],
+            "estimate": [float(hll.estimate())],
+            "updates": [updates],
+        }
+    )
+    return hll.to_bytes(), updates, frame
+
+
+def _windowed(stream_df: DataFrame, ts_col: str, window: str,
+              watermark: str) -> DataFrame:
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("__w", F.window(F.col(ts_col), window))
+        .withColumn("__ws", F.col("__w.start"))
+        .drop("__w")
+    )
+
 
 def windowed_distinct_count(
     stream_df: DataFrame,
@@ -28,45 +80,78 @@ def windowed_distinct_count(
     window: str = "1 hour",
     watermark: str = "2 hours",
     p: int = 12,
+    api: str = "apply",
 ) -> DataFrame:
     """stream → (window_start, n_distinct_estimate) per tumbling window,
-    updated each micro-batch; state = one HLL per window."""
+    updated each micro-batch; state = one HLL per window.
 
-    out_schema = "window_start timestamp, estimate double, updates bigint"
-    state_schema = "blob binary, updates bigint"
+    api='apply' (default): applyInPandasWithState. api='tws':
+    transformWithStateInPandas — identical semantics through the shared
+    core; requires google.protobuf (the tws state-server protocol) and
+    the RocksDB state store provider in the stream config."""
+    if api not in ("apply", "tws"):
+        raise ValueError(f"unknown api {api!r}")
+    windowed = _windowed(stream_df, ts_col, window, watermark)
+    if api == "tws":
+        return _windowed_tws(windowed, key_col, p)
 
     def agg_fn(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            blob, updates = state.get
-            hll = HLLSketch.from_bytes(bytes(blob))
-        else:
-            hll, updates = HLLSketch(p=p), 0
-        n = 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            hll.update(pdf[key_col].astype(str))
-            n += len(pdf)
-        updates += n
-        state.update((bytearray(hll.to_bytes()), updates))
-        yield pd.DataFrame(
-            {
-                "window_start": [key[0]],
-                "estimate": [float(hll.estimate())],
-                "updates": [updates],
-            }
-        )
+        blob, updates = state.get if state.exists else (None, 0)
+        new_blob, updates, frame = run_windowed_hll_batches(
+            pdfs, key_col, p, key[0],
+            bytes(blob) if blob is not None else None, updates)
+        state.update((bytearray(new_blob), updates))
+        yield frame
 
-    windowed = (
-        stream_df.withWatermark(ts_col, watermark)
-        .withColumn("__w", F.window(F.col(ts_col), window))
-        .withColumn("__ws", F.col("__w.start"))
-        .drop("__w")
-    )
     return windowed.groupBy("__ws").applyInPandasWithState(
-        agg_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        agg_fn, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def _windowed_tws(windowed: DataFrame, key_col: str, p: int) -> DataFrame:
+    # transformWithState's python workers speak protobuf to the state
+    # server; without google.protobuf the query crashes at runtime with
+    # an opaque "driver worker exited unexpectedly" — fail loud here
+    # instead (this container ships no protobuf; api='apply' is the
+    # same semantics without it)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package (its state-server protocol); it is unavailable in "
+            "this environment — use api='apply' (applyInPandasWithState, "
+            "identical semantics)") from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class WindowedHLLProcessor(StatefulProcessor):
+        """One (HLL blob, updates) ValueState per window key; emits the
+        running estimate through the SAME core as the apply path."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("hll", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            blob, updates = self._st.get() if self._st.exists() else (None, 0)
+            new_blob, updates, frame = run_windowed_hll_batches(
+                rows, key_col, p, key[0],
+                bytes(blob) if blob is not None else None, int(updates))
+            self._st.update((bytearray(new_blob), updates))
+            yield frame
+
+        def close(self) -> None:
+            pass
+
+    return windowed.groupBy("__ws").transformWithStateInPandas(
+        WindowedHLLProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
