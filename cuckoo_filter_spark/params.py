@@ -9,9 +9,11 @@ layout='vacuum' is OUR space-efficiency extension (Vacuum Filters,
 VLDB 2019 — PAPERS.md): the table no longer rounds up to a power of
 two. Buckets are grouped into power-of-two CHUNKS; the alternate bucket
 is idx ⊕ (H(tag) mod L) with L a per-tag range from {chunk, chunk/2,
-chunk/4, chunk/8} (selected by tag's low bits — the paper's multi-range
-trick keeps enough randomness for high load while small ranges keep the
-size granularity at one chunk). XOR within an aligned power-of-two
+chunk/4, chunk/8}, each clamped to ≥ min(chunk, 512) (selected by tag's
+low bits — the paper's multi-range trick keeps enough randomness for
+high load while small ranges keep the size granularity at one chunk;
+the clamp is our adaptive-range tweak so small chunks don't strand kick
+walks in sub-64-bucket ranges). XOR within an aligned power-of-two
 block is still an involution and never leaves [0, num_buckets) because
 every range divides the chunk, which divides num_buckets. Net effect:
 num_buckets = ceil(need/chunk)·chunk instead of nextPow2(need) — up to
@@ -30,6 +32,12 @@ TABLE_VACUUM = 2  # our extension (vacuum layout, single-table packing)
 MAX_CUCKOO_KICKS = 500  # cuckoofilter.go:19
 
 _MURMUR_C = 0x5BD1E995  # shared with alt_index (cuckoofilter.go:105-108)
+
+# Smallest vacuum alternate range (buckets): per-tag ranges chunk>>i are
+# clamped to ≥ min(chunk, this) — see CuckooParams.alt. 512 keeps the
+# large-chunk multi-range spread (4096>>3 = 512 untouched) while small
+# chunks walk their whole chunk.
+_VACUUM_MIN_RANGE = 512
 
 
 def next_pow2(n: int) -> int:
@@ -216,14 +224,27 @@ class CuckooParams:
 
     def alt(self, idx, tag):
         """Involution: alt(alt(i,t),t) == i for both layouts. Vacuum XORs
-        within a per-tag power-of-two range ∈ {chunk .. chunk/8} — every
-        range divides the chunk divides num_buckets, so the result stays
-        in [0, num_buckets) without needing a pow2 table."""
+        within a per-tag power-of-two range ∈ {chunk .. chunk/8}, with
+        every range clamped to ≥ min(chunk, 512) (adaptive selection in
+        the spirit of the paper's Algorithm 1, keyed on chunk size): at
+        small chunks the unclamped small ranges ({8..64} buckets at
+        chunk 64) confined kick walks to a handful of buckets and capped
+        the achievable load at ~0.78; clamped, a chunk-64 walk spans the
+        whole chunk and packs like a pow2 table (≥0.95 single-chunk,
+        re-measured r4 — vacuum_target_load carries the new targets).
+        Large chunks (≥4096) keep the original 4-range spread, which is
+        the paper's locality trick. Every range is a power of two
+        dividing the chunk, which divides num_buckets, so the XOR stays
+        an involution inside [0, num_buckets) without a pow2 table. The
+        rule is a pure function of chunk_buckets — serialized blobs need
+        no extra header field."""
         import numpy as np
 
         t = tag.astype(np.uint32)
         if self.table_type == TABLE_VACUUM:
-            range_m1 = (np.uint32(self.chunk_buckets) >> (t & np.uint32(3))) - np.uint32(1)
+            chunk = np.uint32(self.chunk_buckets)
+            min_range = np.uint32(min(self.chunk_buckets, _VACUUM_MIN_RANGE))
+            range_m1 = np.maximum(chunk >> (t & np.uint32(3)), min_range) - np.uint32(1)
             delta = (t * np.uint32(_MURMUR_C)) & range_m1
             return (idx.astype(np.uint32) ^ delta).astype(np.int64)
         v = idx.astype(np.uint32) ^ (t * np.uint32(_MURMUR_C))
