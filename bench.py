@@ -176,18 +176,82 @@ def _merge_best(runs: list[dict]) -> dict:
     return out
 
 
-def run_kernel_microbench() -> dict:
+# --- contention gating (VERDICT r3 #2) --------------------------------------
+# Every throughput section re-runs until its best repeat is within
+# GATE_FACTOR of the stored low-load reference snapshot, or the rep cap
+# is hit — in which case the section is marked "contended": true and
+# listed in the artifact's top-level contended_sections. BENCH_r03's
+# probe section under-reported 4× because a neighbor-noise burst spanned
+# all of a FIXED 3 repeats; the gate spends repeats only where they're
+# needed (an un-contended first run exits immediately).
+GATE_FACTOR = 1.5
+GATE_CAP = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "6")))
+_REF_SNAPSHOT = os.path.join(REPO, "bench_snapshots", "r3_low_load_28q.json")
+
+
+def _load_ref() -> dict:
+    try:
+        with open(_REF_SNAPSHOT) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def gated_best_of(fn, key: str, section: str, ref_rate_fn,
+                  contended: list[str]) -> dict:
+    """Run fn until best-of-runs[key] ≥ ref/GATE_FACTOR or GATE_CAP.
+    ref_rate_fn(first_run) returns the reference rate, or None when the
+    snapshot isn't comparable (different row counts / missing section) —
+    then a plain best-of-2 is used."""
+    runs = [fn()]
+    ref = ref_rate_fn(runs[0])
+    while True:
+        best = max(runs, key=lambda r: r[key])
+        if ref is None:
+            if len(runs) >= min(2, GATE_CAP):
+                break
+        elif best[key] >= ref / GATE_FACTOR or len(runs) >= GATE_CAP:
+            break
+        runs.append(fn())
+    best = dict(max(runs, key=lambda r: r[key]))
+    best["reps_run"] = len(runs)
+    if ref is not None:
+        best["ref_rate"] = ref
+        if best[key] < ref / GATE_FACTOR:
+            best["contended"] = True
+            contended.append(section)
+    return best
+
+
+def run_kernel_microbench(contended: list[str]) -> dict:
     """Single-core kernel rates mirroring the reference harness shape
     (cuckoofilter_test.go:113-187: Insert/Lookup, 32-byte keys, single
     (4,8) and packed (4,9); here at capacity 1M, plus encode/decode).
 
-    Best-of-R (SPARK_GRAFT_KERNEL_REPEATS, default 3): this section is
-    the artifact's contention-sanity row — BENCH_r02 recorded hash rates
-    3.2× below reality during a neighbor-noise burst, which made the
-    whole file self-contradictory. The best repeat approximates the
-    un-contended machine."""
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_KERNEL_REPEATS", "3")))
-    return _merge_best([_run_kernel_microbench_once() for _ in range(reps)])
+    This section is the artifact's contention-sanity row — BENCH_r02
+    recorded hash rates 3.2× below reality during a neighbor-noise
+    burst, which made the whole file self-contradictory. Element-wise
+    best across repeats, gated on the hash rate vs the stored
+    snapshot."""
+    ref = (_load_ref().get("kernel") or {}).get("hash_32B_keys_per_sec")
+    runs = [_run_kernel_microbench_once()]
+    while True:
+        best = _merge_best(runs)
+        if ref is None:
+            if len(runs) >= min(2, GATE_CAP):
+                break
+        elif (best["hash_32B_keys_per_sec"] >= ref / GATE_FACTOR
+              or len(runs) >= GATE_CAP):
+            break
+        runs.append(_run_kernel_microbench_once())
+    best = _merge_best(runs)
+    best["reps_run"] = len(runs)
+    if ref is not None:
+        best["ref_rate"] = ref
+        if best["hash_32B_keys_per_sec"] < ref / GATE_FACTOR:
+            best["contended"] = True
+            contended.append("kernel")
+    return best
 
 
 def _run_kernel_microbench_once() -> dict:
@@ -384,22 +448,40 @@ def main() -> None:
     t_total0 = time.perf_counter()
     qtimes = run_queries(spark, sf_dir)
 
-    # throughput sections are best-of-R (like the scaling protocol):
-    # this shared VM shows up to ~2× run-to-run noise from neighbor
-    # contention (observed 7× on the probe section inside one burst);
-    # the best repeat approximates the un-contended host. R=3 because
-    # bursts have been observed spanning two consecutive repeats.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # throughput sections are contention-GATED best-of (VERDICT r3 #2):
+    # re-run until the best repeat is within GATE_FACTOR of the stored
+    # low-load snapshot, or GATE_CAP; sections that cap out are listed
+    # in contended_sections. Snapshot rates are only compared when the
+    # section's row count matches the snapshot's (off-default
+    # SPARK_GRAFT_BENCH_ROWS / sf smoke runs fall back to best-of-2).
+    ref = _load_ref()
+    contended: list[str] = []
 
-    def best_of(fn, key):
-        runs = [fn() for _ in range(reps)]
-        return max(runs, key=lambda r: r[key])
+    def _ref_rate(section, key, rows_key="rows"):
+        def get(first_run):
+            # Spark-section rates are only comparable at the snapshot's
+            # parallelism (local[32]) and row count; kernel is
+            # single-core so it gates regardless of cpus
+            if cpus != 32:
+                return None
+            sec = ref.get(section)
+            if not sec or sec.get(rows_key) != first_run.get(rows_key):
+                return None
+            return sec.get(key)
+        return get
 
-    build = best_of(lambda: run_build_bench(spark, BENCH_ROWS, sharded=True),
-                    "inserts_per_sec")  # 10^12 path
-    high_load = best_of(lambda: run_high_load_bench(spark), "inserts_per_sec")
-    probe = best_of(lambda: run_probe_bench(spark, BENCH_ROWS), "probes_per_sec")
-    kernel = run_kernel_microbench()
+    build = gated_best_of(
+        lambda: run_build_bench(spark, BENCH_ROWS, sharded=True),
+        "inserts_per_sec", "build", _ref_rate("build", "inserts_per_sec"),
+        contended)  # 10^12 path
+    high_load = gated_best_of(
+        lambda: run_high_load_bench(spark), "inserts_per_sec", "high_load",
+        _ref_rate("high_load", "inserts_per_sec"), contended)
+    probe = gated_best_of(
+        lambda: run_probe_bench(spark, BENCH_ROWS), "probes_per_sec", "probe",
+        _ref_rate("probe", "probes_per_sec", rows_key="rows_probed"),
+        contended)
+    kernel = run_kernel_microbench(contended)
     total = round(time.perf_counter() - t_total0, 3)
 
     print(
@@ -412,7 +494,8 @@ def main() -> None:
                 # sections + R kernel reps (~35-55s of repeat overhead);
                 # query_sum_sec is the noise-comparable per-round gauge
                 "query_sum_sec": round(sum(qtimes.values()), 3),
-                "section_reps": reps,
+                "section_rep_cap": GATE_CAP,
+                "contended_sections": contended,
                 "queries": qtimes,
                 "sf": sf,
                 "url_inserts_per_sec": build["inserts_per_sec"],
