@@ -236,8 +236,10 @@ class CuckooKernel:
             if act.size == 0:
                 break
             bi = cur_i[act]
-            # stable sort by bucket preserves original order within groups
-            srt = np.argsort(bi, kind="stable")
+            # stable sort by bucket preserves original order within
+            # groups; int32 keys halve the radix passes (num_buckets is
+            # always < 2^31 — uint32 index space)
+            srt = np.argsort(bi.astype(np.int32), kind="stable")
             s_items = act[srt]
             s_b = bi[srt]
             # group boundaries without a second sort
@@ -248,7 +250,11 @@ class CuckooKernel:
             uniq = s_b[start]
             gid = np.cumsum(newgrp) - 1
             rank = np.arange(len(s_b)) - start[gid]
-            free = (slots[uniq] == 0).sum(axis=1, dtype=np.int64)
+            su_z = slots[uniq] == 0  # per-unique-bucket zero mask; the
+            # free counts AND the placement slot search both read it —
+            # one table gather per round instead of two (the second
+            # slots[pb] gather re-missed the same cache lines)
+            free = su_z.sum(axis=1, dtype=np.int64)
             free_g = free[gid]
             place = rank < free_g
 
@@ -256,7 +262,8 @@ class CuckooKernel:
             if p_items.size:
                 pb = cur_i[p_items]
                 prank = rank[place]
-                z = slots[pb] == 0
+                z = su_z[gid[place]]  # == (slots[pb] == 0): slots are
+                # untouched between the gather above and this placement
                 c = np.cumsum(z, axis=1, dtype=np.int8)
                 slot_j = np.argmax((c == (prank + 1)[:, None]) & z, axis=1)
                 slots[pb, slot_j] = cur_t[p_items]
