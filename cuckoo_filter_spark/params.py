@@ -56,26 +56,36 @@ def max_load_factor(tags_per_bucket: int) -> float:
     return 0.99
 
 
-def vacuum_target_load(chunk_buckets: int, tags_per_bucket: int) -> float:
-    """Safe sizing load for the vacuum layout: the kick walk cannot
-    leave its chunk, so achievable load depends on chunk size.
+def vacuum_target_load(chunk_buckets: int, tags_per_bucket: int,
+                       n_chunks: int = 256) -> float:
+    """Safe sizing load for the vacuum layout, (chunk, n_chunks)-aware.
 
-    Table re-measured round 3 (b=4, f=16, 8 seeds, up to 256 chunks —
-    worst chunk governs, so more chunks ⇒ lower min): achieved min load
-    64→0.78, 128→0.84, 256→0.91, 512→0.92, 1024→0.94, 2048→0.94,
-    4096→0.95. Targets sit ≥0.02 under the measured min (the previous
-    0.82 default was ABOVE chunk 64's 0.78 ceiling — an overflow
-    hazard for explicitly tiny chunks; auto-chunking floors at 256).
-    Only ≥4096 keeps 0.95 (chunk 2048 measured min 0.94, so its target
-    is 0.92 — the same ≥0.02 margin rule as every other row): sizing
-    rounds capacity UP to a chunk multiple and builders add headroom,
-    so the realized load sits well under target (pinned by test_vacuum
-    load tests)."""
+    Two effects bound the achievable load (r4 re-measurement,
+    scripts/measure_vacuum_load.py, b=4 f=16, 8 seeds, n_chunks ∈
+    {1,4,16,64,256}, WORST chunk governs):
+
+    * the in-chunk kick walk packs a single chunk to ~0.95 (with the
+      r4 range clamp; pre-clamp small chunks capped at ~0.78), and
+    * balls-in-bins fluctuation: keys hash uniformly across chunks, so
+      with C chunks the fullest chunk overshoots the mean by
+      ~√(2·ln C) standard deviations — the dominant ceiling at small
+      chunks and high chunk counts (measured: chunk 64 packs 0.953
+      single-chunk but only 0.782 at 256 chunks). A fixed per-chunk
+      target (rounds 2-3) silently sat above the many-chunk minimum
+      for several sizes.
+
+    target = walk − √(2·ln C)·√(walk/slots) − 0.02, walk = 0.95,
+    slots = b·chunk — checked conservative against EVERY measured
+    (chunk, n_chunks) minimum (margin 0.02-0.07). Calibrated at b=4;
+    other b reuse the shape, capped at max_load_factor(b)."""
+    import math
+
     base = max_load_factor(tags_per_bucket)
-    if chunk_buckets >= 4096:
-        return min(base, 0.95)
-    table = {2048: 0.92, 1024: 0.92, 512: 0.90, 256: 0.88, 128: 0.82}
-    return min(base, table.get(chunk_buckets, 0.75))
+    walk = min(base, 0.95)
+    slots = tags_per_bucket * chunk_buckets
+    z = math.sqrt(2.0 * math.log(max(n_chunks, 2))) if n_chunks > 1 else 0.0
+    target = walk - z * math.sqrt(walk / slots) - 0.02
+    return max(min(base, target), 0.5)
 
 
 @dataclass(frozen=True)
@@ -151,19 +161,27 @@ class CuckooParams:
         next power of two — the whole point of the layout.
 
         The kick random walk is confined to a chunk, so the achievable
-        load grows with chunk size (measured on this kernel: ~0.88 at
-        256 buckets up to ~0.96 at 4096 — the paper's range-selection
-        effect). Auto-chunking picks ~need/8 clamped to [256, 4096]:
-        large tables (where space matters) get chunk 4096 → granularity
-        ≤ 0.1 % and a 0.95 load target; small tables trade a lower load
-        target for fine granularity, still beating nextPow2 rounding."""
+        load grows with chunk size and shrinks with chunk COUNT (the
+        fullest of C chunks overshoots the mean occupancy — see
+        vacuum_target_load). Auto-chunking picks ~need/8 clamped to
+        [256, 4096]: large tables (where space matters) get chunk 4096
+        → granularity ≤ 0.1 % and a ~0.90-0.93 load target depending on
+        chunk count; small tables trade a lower load target for fine
+        granularity, still beating nextPow2 rounding. The target/count
+        fixpoint is solved iteratively (target shrinks as the chunk
+        count grows, which grows the table — monotone, terminates)."""
         b = tags_per_bucket
         if chunk_buckets is None:
             rough = max(int(max_num_keys / (b * 0.95)) + 1, 8)
             chunk_buckets = min(4096, max(256, next_pow2(max(rough // 8, 1))))
-        target = vacuum_target_load(chunk_buckets, b)
-        need = max(int(max_num_keys / (b * target)) + 1, chunk_buckets)
-        num_buckets = ((need + chunk_buckets - 1) // chunk_buckets) * chunk_buckets
+        c = max(max_num_keys // (b * chunk_buckets), 1)
+        for _ in range(6):
+            target = vacuum_target_load(chunk_buckets, b, n_chunks=c)
+            need = max(int(max_num_keys / (b * target)) + 1, chunk_buckets)
+            num_buckets = ((need + chunk_buckets - 1) // chunk_buckets) * chunk_buckets
+            if num_buckets // chunk_buckets == c:
+                break
+            c = num_buckets // chunk_buckets
         # never size LARGER than the pow2 rule would (chunk rounding can
         # lose at small capacities): fall back to a pow2-sized vacuum
         # table (chunk == num_buckets), floored at the 64-bucket minimum
