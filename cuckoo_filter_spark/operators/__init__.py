@@ -1,6 +1,10 @@
 """Spark-native distributed operators around the sketch kernels."""
 
-from cuckoo_filter_spark.operators.build import CuckooBuild, build_cuckoo_filter
+from cuckoo_filter_spark.operators.build import (
+    CuckooBuild,
+    build_cuckoo_filter,
+    count_distinct_exact,
+)
 from cuckoo_filter_spark.operators.query import (
     cuckoo_anti_join,
     cuckoo_semi_join,
@@ -10,6 +14,7 @@ from cuckoo_filter_spark.operators.query import (
 __all__ = [
     "CuckooBuild",
     "build_cuckoo_filter",
+    "count_distinct_exact",
     "might_contain_udf",
     "cuckoo_semi_join",
     "cuckoo_anti_join",
