@@ -262,7 +262,6 @@ def grouped_might_contain_join(
     probes pre-hash JVM-side, exactly like the sharded join)."""
     from pyspark.sql.types import BooleanType, StructField, StructType
 
-    spark = probe.sparkSession
     cols = probe.columns
     # build a FRESH StructType: StructType.add mutates in place, so
     # probe.schema.add(...) would plant a phantom flag column in the
