@@ -142,6 +142,38 @@ def test_shard_of_single_shard():
     assert (shard_of(h, 1) == 0).all()
 
 
+def test_xxh64_long_scalar_reference():
+    """xxh64_long_batch vs a direct scalar transcription of the
+    published XXH64 algorithm for an 8-byte input (no Spark needed —
+    the JVM parity test is the other anchor)."""
+    from cuckoo_filter_spark.hashing import xxh64_long_batch
+
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def ref(word, seed=42):
+        acc = (seed + P5 + 8) & M
+        acc ^= rotl((word * P2) & M, 31) * P1 & M
+        acc &= M
+        acc = (rotl(acc, 27) * P1 + P4) & M
+        acc ^= acc >> 33
+        acc = (acc * P2) & M
+        acc ^= acc >> 29
+        acc = (acc * P3) & M
+        acc ^= acc >> 32
+        return acc
+
+    rng = np.random.default_rng(23)
+    h = rng.integers(0, 2**64, 500, dtype=np.uint64)
+    got = xxh64_long_batch(h)
+    for i in range(len(h)):
+        assert int(got[i]) == ref(int(h[i])), i
+
+
 def test_shard_hash_jvm_parity(spark):
     """shard_of's independent re-hash (xxh64-of-word, seed 42) must
     equal Spark's JVM xxhash64 over the same long column — the contract
