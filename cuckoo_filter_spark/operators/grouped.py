@@ -169,6 +169,12 @@ def build_grouped_filters(
         combine, f"{gddl}, {GROUPED_BUILD_METRICS}")
 
 
+# grouped_anti_join(via='auto') switches from the broadcast probe to the
+# cogroup probe above this many groups: past a few thousand groups the
+# driver dict + broadcast of every blob stops being "small" (MBs × 10^3),
+# while the cogroup path's extra probe shuffle amortizes.
+AUTO_COGROUP_GROUPS = 2048
+
 _GROUP_KERNEL_CACHE: dict = {}
 
 
@@ -335,8 +341,9 @@ def grouped_anti_join(
     blob dict — right for modest group counts; via='cogroup' routes
     probe rows to blob rows by group (grouped_might_contain_join) so
     high-cardinality group spaces never materialize all blobs on the
-    driver."""
-    if via not in ("broadcast", "cogroup"):
+    driver; via='auto' counts the (small) filters frame and picks
+    cogroup above AUTO_COGROUP_GROUPS groups."""
+    if via not in ("broadcast", "cogroup", "auto"):
         raise ValueError(f"unknown via {via!r}")
     if build_kwargs.get("hash_fn", "metro64") != "metro64":
         raise ValueError(
@@ -345,6 +352,11 @@ def grouped_anti_join(
             "hash_fn)")
     if filters is None:
         filters = build_grouped_filters(seen, group_col, key_col, **build_kwargs)
+    if via == "auto":
+        # one tiny agg over the one-row-per-group filters frame; limit()
+        # bounds the job at the threshold instead of a full count
+        over = filters.limit(AUTO_COGROUP_GROUPS + 1).count()
+        via = "cogroup" if over > AUTO_COGROUP_GROUPS else "broadcast"
     if via == "cogroup":
         flagged = grouped_might_contain_join(
             probe, group_col, key_col, filters, flag_col="__maybe")

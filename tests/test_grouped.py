@@ -133,6 +133,36 @@ def test_grouped_cogroup_join_xxhash64(spark, docs):
     assert flagged.where(~F.col("might_contain")).count() == 0
 
 
+def test_grouped_anti_join_auto_route(spark, docs, monkeypatch):
+    """via='auto': few groups → broadcast, many groups → cogroup; both
+    produce the exact anti-join answer."""
+    import cuckoo_filter_spark.operators.grouped as g
+
+    seen = docs.where(F.col("doc_id") < 200)
+    want = docs.join(
+        seen.select("lang", "text").dropDuplicates(["lang", "text"]),
+        on=["lang", "text"], how="left_anti").count()
+    # few groups (5 langs) with a tiny threshold forced DOWN → cogroup;
+    # spy which path ran via the module functions
+    called = []
+    orig_join = g.grouped_might_contain_join
+    orig_udf = g.grouped_might_contain_udf
+    monkeypatch.setattr(g, "grouped_might_contain_join",
+                        lambda *a, **k: called.append("cogroup") or orig_join(*a, **k))
+    monkeypatch.setattr(g, "grouped_might_contain_udf",
+                        lambda *a, **k: called.append("broadcast") or orig_udf(*a, **k))
+    assert g.grouped_anti_join(docs, "lang", "text", seen,
+                               via="auto").count() == want
+    assert called == ["broadcast"]  # 5 groups < threshold
+    called.clear()
+    monkeypatch.setattr(g, "AUTO_COGROUP_GROUPS", 2)
+    assert g.grouped_anti_join(docs, "lang", "text", seen,
+                               via="auto").count() == want
+    assert called == ["cogroup"]  # 5 groups > patched threshold
+    with pytest.raises(ValueError, match="unknown via"):
+        g.grouped_anti_join(docs, "lang", "text", seen, via="nope")
+
+
 def test_grouped_filters_xxhash_counts(spark, docs):
     filters = build_grouped_filters(docs, "lang", "text", hash_fn="xxhash64")
     want = {r["lang"]: r["n"]
