@@ -559,9 +559,12 @@ def build_cuckoo_filter(
         )
 
         _warn_blob_collect(capacity, shard_output_path)
-        if num_partitions:
-            df = df.repartition(num_partitions)  # honor the caller's
-            # parallelism request on the routed path too
+        if num_partitions and mode != "unique_global":
+            # honor the caller's parallelism request on the routed path
+            # too — EXCEPT for unique_global, whose sharded build
+            # immediately repartitions by key anyway: a round-robin
+            # shuffle first would just move the whole input twice
+            df = df.repartition(num_partitions)
         return build_sharded_cuckoo_filter(
             df, key_col, capacity=capacity,
             num_shards=_choose_num_shards(capacity),
