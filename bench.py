@@ -186,7 +186,7 @@ def _merge_best(runs: list[dict]) -> dict:
 # needed (an un-contended first run exits immediately).
 GATE_FACTOR = 1.5
 GATE_CAP = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "6")))
-_REF_SNAPSHOT = os.path.join(REPO, "bench_snapshots", "r3_low_load_28q.json")
+_REF_SNAPSHOT = os.path.join(REPO, "bench_snapshots", "r4_quiet_30q.json")
 
 
 def _load_ref() -> dict:
