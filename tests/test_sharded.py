@@ -142,6 +142,23 @@ def test_shard_of_single_shard():
     assert (shard_of(h, 1) == 0).all()
 
 
+def test_shard_of_uniformity():
+    """Shard assignment is deterministic and roughly uniform: with
+    400k random hashes over 64 shards, every shard holds its expected
+    share within 20% (the independent re-hash must not skew routing)."""
+    from cuckoo_filter_spark.operators.sharded import shard_of
+
+    rng = np.random.default_rng(17)
+    h = rng.integers(0, 2**64, 400_000, dtype=np.uint64)
+    s1 = shard_of(h, 64)
+    assert np.array_equal(s1, shard_of(h, 64))  # deterministic
+    assert s1.min() >= 0 and s1.max() < 64
+    counts = np.bincount(s1, minlength=64)
+    exp = len(h) / 64
+    assert counts.min() > exp * 0.8 and counts.max() < exp * 1.2, (
+        counts.min(), counts.max())
+
+
 def test_xxh64_long_scalar_reference():
     """xxh64_long_batch vs a direct scalar transcription of the
     published XXH64 algorithm for an 8-byte input (no Spark needed —

@@ -19,8 +19,13 @@ from cuckoo_filter_spark.params import (
 )
 
 
-def test_vacuum_alt_is_involution_and_in_range():
-    p = CuckooParams(4, 16, 6144, TABLE_VACUUM, 2048)
+@pytest.mark.parametrize("chunk,nb", [(64, 192), (128, 1024), (512, 2560),
+                                      (2048, 6144), (4096, 40960)])
+def test_vacuum_alt_is_involution_and_in_range(chunk, nb):
+    """Involution + in-range + chunk confinement across chunk sizes,
+    including the r4 adaptive-clamp regime (chunk < 512 → all ranges =
+    chunk; 512-2048 → partially clamped; 4096 → original 4-range)."""
+    p = CuckooParams(4, 16, nb, TABLE_VACUUM, chunk)
     rng = np.random.default_rng(5)
     h = rng.integers(0, 2**64, 200_000, dtype=np.uint64)
     idx, tag = p.split(h)
@@ -30,7 +35,14 @@ def test_vacuum_alt_is_involution_and_in_range():
     back = p.alt(alt, tag)
     assert np.array_equal(back, idx), "alt is not an involution"
     # alternates stay within the tag's chunk-aligned block
-    assert (idx // 2048 == alt // 2048).all()
+    assert (idx // chunk == alt // chunk).all()
+    if chunk <= 512:
+        # clamp active: the whole chunk is reachable — alternates of a
+        # single bucket's tags must spread beyond chunk/8 (the pre-clamp
+        # smallest range stranded walks in 8-bucket blocks at chunk 64)
+        one = (idx == idx[0])
+        spread = np.unique(alt[one] % chunk)
+        assert len(spread) > chunk // 8, len(spread)
 
 
 def test_vacuum_sizing_not_pow2_and_saves_space():
