@@ -186,15 +186,76 @@ def _merge_best(runs: list[dict]) -> dict:
 # needed (an un-contended first run exits immediately).
 GATE_FACTOR = 1.5
 GATE_CAP = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "6")))
-_REF_SNAPSHOT = os.path.join(REPO, "bench_snapshots", "r4_quiet_30q.json")
+_SNAP_DIR = os.path.join(REPO, "bench_snapshots")
+_CAPOUT_HISTORY = os.path.join(_SNAP_DIR, "capout_history.json")
+
+# gate key + geometry key per section (geometry must match for the
+# snapshot rate to be comparable; kernel is single-core, no geometry)
+SECTION_GATES = {
+    "build": ("inserts_per_sec", "rows"),
+    "high_load": ("inserts_per_sec", "rows"),
+    "probe": ("probes_per_sec", "rows_probed"),
+    "kernel": ("hash_32B_keys_per_sec", None),
+}
 
 
 def _load_ref() -> dict:
+    """Reference rates = element-wise MAX across the quiet snapshots
+    (VERDICT r4 #2: gating against a single snapshot means one
+    contended capture silently lowers every future bar — r4's snapshot
+    pinned kernel hash 28% below r3's committed rate). Later snapshots
+    win when their geometry (row count) differs; at matching geometry
+    the best-evidenced quiet rate across rounds is the bar."""
+    import glob
+
+    snaps = []
+    for p in sorted(glob.glob(os.path.join(_SNAP_DIR, "r[0-9]*_*q*.json"))):
+        try:
+            with open(p) as f:
+                snaps.append(json.load(f))
+        except Exception:
+            pass
+    ref: dict = {}
+    for sec, (rate_key, rows_key) in SECTION_GATES.items():
+        best = None
+        for s in snaps:
+            d = s.get(sec)
+            if not isinstance(d, dict) or rate_key not in d:
+                continue
+            if best is None or (
+                rows_key is not None and d.get(rows_key) != best.get(rows_key)
+            ):
+                best = dict(d)  # later snapshot's geometry wins outright
+            elif d[rate_key] > best[rate_key]:
+                best[rate_key] = d[rate_key]
+        if best is not None:
+            ref[sec] = best
+    return ref
+
+
+def _gate_history_update(capped: dict) -> list[str]:
+    """Record this run's cap-outs (section -> best/ref ratio) in the
+    persistent history and return the sections that ALSO capped out on
+    the previous recorded run — ADVICE r4: a genuine >=GATE_FACTOR
+    regression is otherwise indistinguishable from neighbor noise (both
+    read as 'contended' and burn GATE_CAP reps). One noise burst rarely
+    spans two full bench runs, so back-to-back cap-outs of the same
+    section flag as ``suspect_regressions`` in the artifact."""
     try:
-        with open(_REF_SNAPSHOT) as f:
-            return json.load(f)
+        with open(_CAPOUT_HISTORY) as f:
+            hist = json.load(f)
     except Exception:
-        return {}
+        hist = []
+    prev = set(hist[-1]["capped"]) if hist else set()
+    hist.append({"ts": time.time(), "capped": capped})
+    hist = hist[-50:]
+    try:
+        os.makedirs(_SNAP_DIR, exist_ok=True)
+        with open(_CAPOUT_HISTORY, "w") as f:
+            json.dump(hist, f)
+    except Exception:
+        pass
+    return sorted(set(capped) & prev)
 
 
 def gated_best_of(fn, key: str, section: str, ref_rate_fn,
@@ -217,6 +278,8 @@ def gated_best_of(fn, key: str, section: str, ref_rate_fn,
     best["reps_run"] = len(runs)
     if ref is not None:
         best["ref_rate"] = ref
+        best["gate_ratio"] = round(best[key] / ref, 3)  # ADVICE r4: keep
+        # the best/ref ratio visible even when the gate passes
         if best[key] < ref / GATE_FACTOR:
             best["contended"] = True
             contended.append(section)
@@ -248,6 +311,7 @@ def run_kernel_microbench(contended: list[str]) -> dict:
     best["reps_run"] = len(runs)
     if ref is not None:
         best["ref_rate"] = ref
+        best["gate_ratio"] = round(best["hash_32B_keys_per_sec"] / ref, 3)
         if best["hash_32B_keys_per_sec"] < ref / GATE_FACTOR:
             best["contended"] = True
             contended.append("kernel")
@@ -429,6 +493,49 @@ def run_scaling(n_rows: int) -> dict:
     return out
 
 
+def compact_line(full: dict, budget: int = 1900) -> str:
+    """The driver-contract final line. BENCH_r04's single fat line
+    overflowed the driver's 2000-char tail-capture window and recorded
+    ``parsed: null`` (VERDICT r4 #1) — the full nested result now goes
+    to bench_snapshots/last_run.json and this line carries the contract
+    fields (metric/value/unit/queries/sf) plus ONE rounded rate per
+    throughput section, compact separators, hard-fit to ``budget`` by
+    degrading query-time precision first and dropping the query map as
+    a last resort (the file always has everything). Headline fields are
+    ordered AFTER the query map so a hypothetical future overflow cuts
+    the map, not the headline (tail capture keeps the END of stdout)."""
+
+    def build(prec: int, with_queries: bool = True) -> str:
+        d: dict = {}
+        if with_queries:
+            d["queries"] = {k: round(v, prec) for k, v in full["queries"].items()}
+        d.update(
+            {
+                "metric": full["metric"],
+                "value": full["value"],
+                "unit": full["unit"],
+                "query_sum_sec": full["query_sum_sec"],
+                "sf": full["sf"],
+                "url_inserts_per_sec": full["build"]["inserts_per_sec"],
+                "high_load_inserts_per_sec": full["high_load"]["inserts_per_sec"],
+                "high_load_fp_rate": full["high_load"]["fp_rate"],
+                "probes_per_sec": full["probe"]["probes_per_sec"],
+                "kernel_hash_per_sec": full["kernel"]["hash_32B_keys_per_sec"],
+                "contended_sections": full["contended_sections"],
+                "full_results": "bench_snapshots/last_run.json",
+            }
+        )
+        if full.get("suspect_regressions"):
+            d["suspect_regressions"] = full["suspect_regressions"]
+        return json.dumps(d, separators=(",", ":"))
+
+    for prec, with_q in ((2, True), (1, True), (1, False)):
+        line = build(prec, with_q)
+        if len(line) <= budget:
+            return line
+    return line  # unreachable in practice: the no-queries form is ~500B
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         scaling_child(int(sys.argv[2]), int(sys.argv[3]),
@@ -484,28 +591,36 @@ def main() -> None:
     kernel = run_kernel_microbench(contended)
     total = round(time.perf_counter() - t_total0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                # value includes best-of-R repeats of the throughput
-                # sections + R kernel reps (~35-55s of repeat overhead);
-                # query_sum_sec is the noise-comparable per-round gauge
-                "query_sum_sec": round(sum(qtimes.values()), 3),
-                "section_rep_cap": GATE_CAP,
-                "contended_sections": contended,
-                "queries": qtimes,
-                "sf": sf,
-                "url_inserts_per_sec": build["inserts_per_sec"],
-                "build": build,
-                "high_load": high_load,
-                "probe": probe,
-                "kernel": kernel,
-            }
-        )
-    )
+    sections = {"build": build, "high_load": high_load, "probe": probe,
+                "kernel": kernel}
+    suspects = _gate_history_update(
+        {s: sections[s].get("gate_ratio") for s in contended})
+    full = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        # value includes best-of-R repeats of the throughput
+        # sections + R kernel reps (~35-55s of repeat overhead);
+        # query_sum_sec is the noise-comparable per-round gauge
+        "query_sum_sec": round(sum(qtimes.values()), 3),
+        "section_rep_cap": GATE_CAP,
+        "contended_sections": contended,
+        "suspect_regressions": suspects,
+        "queries": qtimes,
+        "sf": sf,
+        "url_inserts_per_sec": build["inserts_per_sec"],
+        "build": build,
+        "high_load": high_load,
+        "probe": probe,
+        "kernel": kernel,
+    }
+    try:
+        os.makedirs(_SNAP_DIR, exist_ok=True)
+        with open(os.path.join(_SNAP_DIR, "last_run.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except Exception as e:  # the line must still print
+        print(f"WARN: could not write last_run.json: {e}", file=sys.stderr)
+    print(compact_line(full))
     spark.stop()
 
 
