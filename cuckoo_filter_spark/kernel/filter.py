@@ -38,10 +38,26 @@ from cuckoo_filter_spark.params import (
     TABLE_PACKED,
     TABLE_SINGLE,
     TABLE_VACUUM,
+    VACUUM_BLOB_VERSION,
     CuckooParams,
 )
 
 _MURMUR_C = np.uint32(0x5BD1E995)  # cuckoofilter.go:106
+
+
+def _check_vacuum_version(ver: int) -> None:
+    """Vacuum blobs carry a format version byte (see params.py
+    VACUUM_BLOB_VERSION). Pre-versioning blobs have tags_per_bucket
+    (2/4/8) at this position — disjoint from the 0xA0-marked version
+    values, so stale artifacts land here instead of silently probing
+    with the wrong alt-range rule."""
+    if ver != VACUUM_BLOB_VERSION:
+        raise ValueError(
+            f"vacuum blob format byte 0x{ver:02X} != expected "
+            f"0x{VACUUM_BLOB_VERSION:02X}: this blob was serialized by an "
+            f"incompatible revision (pre-r5 blobs predate the r4 adaptive "
+            f"alt-range clamp and would return silent false negatives). "
+            f"Rebuild the filter.")
 
 
 class FilterFullError(RuntimeError):
@@ -647,8 +663,12 @@ class CuckooKernel:
             return head + struct.pack("<BBI", TABLE_PACKED, p.bits_per_item,
                                       p.num_buckets)
         if p.table_type == TABLE_VACUUM:
-            # our extension: not a Go layout (num_buckets isn't pow2)
-            return head + struct.pack("<BBBII", TABLE_VACUUM, p.tags_per_bucket,
+            # our extension: not a Go layout (num_buckets isn't pow2),
+            # so it carries a format version byte — r4's alt-range
+            # clamp changed probe semantics and pre-r5 blobs must fail
+            # loud rather than return silent false negatives
+            return head + struct.pack("<BBBBII", TABLE_VACUUM,
+                                      VACUUM_BLOB_VERSION, p.tags_per_bucket,
                                       p.bits_per_item, p.num_buckets,
                                       p.chunk_buckets)
         return head + struct.pack(
@@ -700,9 +720,10 @@ class CuckooKernel:
             params = CuckooParams(4, f, nb, TABLE_PACKED)
             slots = bitpack.unpack_packed(data[19:], nb, f)
         elif table_type == TABLE_VACUUM:
-            b, f, nb, chunk = struct.unpack_from("<BBII", data, 14)
+            ver, b, f, nb, chunk = struct.unpack_from("<BBBII", data, 14)
+            _check_vacuum_version(ver)
             params = CuckooParams(b, f, nb, TABLE_VACUUM, chunk)
-            slots = bitpack.unpack_single(data[24:], nb, b, f)
+            slots = bitpack.unpack_single(data[25:], nb, b, f)
         else:
             b, f, nb = struct.unpack_from("<BBI", data, 14)
             params = CuckooParams(b, f, nb, TABLE_SINGLE)
@@ -780,12 +801,13 @@ class CuckooProbe:
                 self.zero_copy = True
                 return
         if table_type == TABLE_VACUUM:
-            b, f, nb, chunk = struct.unpack_from("<BBII", data, 14)
+            ver, b, f, nb, chunk = struct.unpack_from("<BBBII", data, 14)
+            _check_vacuum_version(ver)
             if f in (8, 16, 32):
                 dt = {8: "<u1", 16: "<u2", 32: "<u4"}[f]
                 self.params = CuckooParams(b, f, nb, TABLE_VACUUM, chunk)
                 self.slots = np.frombuffer(
-                    data, dtype=dt, count=nb * b, offset=24).reshape(nb, b)
+                    data, dtype=dt, count=nb * b, offset=25).reshape(nb, b)
                 self.zero_copy = True
                 return
         kern = CuckooKernel.from_bytes(data)

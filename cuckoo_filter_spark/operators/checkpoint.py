@@ -23,10 +23,12 @@ import numpy as np
 
 from cuckoo_filter_spark.operators.sharded import (
     PAIRS_SCHEMA,
+    SHARD_FORMAT_VERSION,
     SHARD_SCHEMA,
     ShardedCuckooBuild,
     _pair_emitter,
     _shard_combiner,
+    check_shard_format,
 )
 from cuckoo_filter_spark.params import CuckooParams
 
@@ -71,6 +73,10 @@ def build_checkpointed(
         "mode": mode,
         "capacity": int(capacity),
         "key_col": key_col,
+        # ADVICE r4: a pre-r5 checkpoint's shards were routed/probed
+        # under different semantics — the manifest mismatch below fails
+        # the resume loud instead of silently mixing formats
+        "format_version": SHARD_FORMAT_VERSION,
     }
 
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -110,7 +116,9 @@ def build_checkpointed(
         )
         shards.write.mode("append").parquet(sdir)
 
-    rows = spark.read.parquet(sdir).drop("blob").collect()
+    sdf = spark.read.parquet(sdir)
+    check_shard_format(sdf, "build_sharded_with_checkpoint")
+    rows = sdf.drop("blob").collect()
     metrics = [
         {k: r[k] for k in ("shard", "rows", "stored", "kicks", "victim_used",
                            "load_factor", "wall_ms")}

@@ -49,11 +49,40 @@ from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
 
 PAIRS_SCHEMA = ("shard int, src_partition int, n bigint, rows bigint, "
                 "distinct_keys bigint, blob binary")
+
+# Persisted-shard format version (ADVICE r4): bump whenever a code
+# change alters probe semantics for ALREADY-PERSISTED shard artifacts.
+# v2 = the r4 revisions — independent xxh64 shard routing (shard_of)
+# and the vacuum adaptive alt-range clamp; shard parquet written
+# before r5 carries NO format_version column and fails loud instead of
+# returning silent false negatives when probed with current code.
+SHARD_FORMAT_VERSION = 2
+
 SHARD_SCHEMA = (
     "shard int, rows bigint, stored bigint, distinct_keys bigint, "
     "kicks bigint, victim_used boolean, "
-    "load_factor double, wall_ms double, blob binary"
+    "load_factor double, wall_ms double, blob binary, format_version int"
 )
+
+
+def check_shard_format(shards_df, where: str) -> None:
+    """Fail loud when a shard frame/artifact was produced by an
+    incompatible revision. One tiny distinct over the int column (at
+    most num_shards rows); blobs are never touched."""
+    if "format_version" not in shards_df.columns:
+        raise ValueError(
+            f"{where}: unversioned shard artifact (written before the "
+            f"format_version column, i.e. pre-r5). Shard routing "
+            f"(independent xxh64 re-hash) and vacuum alt-range "
+            f"semantics changed in r4 — probing this artifact would "
+            f"return silent false negatives. Rebuild the shards.")
+    vs = sorted(
+        r[0] for r in shards_df.select("format_version").distinct().collect())
+    if vs != [SHARD_FORMAT_VERSION]:
+        raise ValueError(
+            f"{where}: shard format_version {vs} != "
+            f"[{SHARD_FORMAT_VERSION}] — artifact written by an "
+            f"incompatible library revision; rebuild the shards.")
 
 
 def iter_shard_groups(shards: np.ndarray):
@@ -258,6 +287,7 @@ def _shard_combiner(params: CuckooParams, unique: bool):
                 "load_factor": [kern.load_factor()],
                 "wall_ms": [(time.perf_counter() - t0) * 1000.0],
                 "blob": [kern.to_bytes()],
+                "format_version": [SHARD_FORMAT_VERSION],
             }
         )
 
@@ -352,7 +382,9 @@ def build_sharded_cuckoo_filter(
 
 
 def load_sharded_blobs(spark, path: str) -> dict[int, bytes]:
-    rows = spark.read.parquet(path).select("shard", "blob").collect()
+    sdf = spark.read.parquet(path)
+    check_shard_format(sdf, "load_sharded_blobs")
+    rows = sdf.select("shard", "blob").collect()
     return {int(r["shard"]): bytes(r["blob"]) for r in rows}
 
 
@@ -375,7 +407,12 @@ def sharded_might_contain_join(
     if shards_df is None:
         if build.path is None:
             raise ValueError("need shards_df or a persisted build path")
-        shards_df = spark.read.parquet(build.path).select("shard", "blob")
+        sdf = spark.read.parquet(build.path)
+        check_shard_format(sdf, "sharded_might_contain_join")
+        shards_df = sdf.select("shard", "blob")
+    elif "format_version" in shards_df.columns:
+        check_shard_format(shards_df, "sharded_might_contain_join")
+        shards_df = shards_df.select("shard", "blob")
     params = build.params
     num_shards = build.num_shards
     hash_fn = build.hash_fn
@@ -429,7 +466,8 @@ def sharded_might_contain_join(
 
 
 DELETE_SCHEMA = (
-    "shard int, requested bigint, deleted bigint, victim_used boolean, blob binary"
+    "shard int, requested bigint, deleted bigint, victim_used boolean, "
+    "blob binary, format_version int"
 )
 
 
@@ -459,7 +497,9 @@ def sharded_delete(
     spark = keys_df.sparkSession
     if shards_df is None:
         if build.path is not None:
-            shards_df = spark.read.parquet(build.path).select("shard", "blob")
+            sdf = spark.read.parquet(build.path)
+            check_shard_format(sdf, "sharded_delete")
+            shards_df = sdf.select("shard", "blob")
         else:
             shards_df = spark.createDataFrame(
                 [(int(s), bytearray(b)) for s, b in build.blobs.items()],
@@ -489,13 +529,15 @@ def sharded_delete(
             shard = int(left["__shard"].iloc[0])
             return pd.DataFrame(
                 {"shard": [shard], "requested": [len(left)], "deleted": [0],
-                 "victim_used": [False], "blob": [None]})
+                 "victim_used": [False], "blob": [None],
+                 "format_version": [SHARD_FORMAT_VERSION]})
         shard = int(right["__shard"].iloc[0])
         blob = bytes(right["blob"].iloc[0])
         if len(left) == 0:  # untouched shard passes through unchanged
             return pd.DataFrame(
                 {"shard": [shard], "requested": [0], "deleted": [0],
-                 "victim_used": [False], "blob": [blob]})
+                 "victim_used": [False], "blob": [blob],
+                 "format_version": [SHARD_FORMAT_VERSION]})
         kern = CuckooKernel.from_bytes(blob)
         if hash_fn == "xxhash64":
             h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
@@ -506,7 +548,8 @@ def sharded_delete(
         return pd.DataFrame(
             {"shard": [shard], "requested": [len(left)],
              "deleted": [int(ok.sum())], "victim_used": [kern.victim_used],
-             "blob": [kern.to_bytes()]})
+             "blob": [kern.to_bytes()],
+             "format_version": [SHARD_FORMAT_VERSION]})
 
     blobs_sh = shards_df.withColumnRenamed("shard", "__shard")
     updated = (

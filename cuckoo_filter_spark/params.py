@@ -29,6 +29,16 @@ TABLE_SINGLE = 0  # cuckoofilter.go:23
 TABLE_PACKED = 1  # cuckoofilter.go:25
 TABLE_VACUUM = 2  # our extension (vacuum layout, single-table packing)
 
+# Vacuum BLOB format version (ADVICE r4). The vacuum header is our own
+# extension (single/packed headers are byte-exact Go layouts and cannot
+# carry one), so it gets a real version byte: r4's adaptive alt-range
+# clamp changed vacuum probe semantics, making pre-r4 vacuum blobs
+# silently produce false negatives under current code. The constant
+# keeps 0xA0 marker bits so the byte can never equal a legal
+# tags_per_bucket value (2/4/8) — which is what occupied this position
+# in pre-versioning blobs — so stale blobs fail loud on decode.
+VACUUM_BLOB_VERSION = 0xA0 | 2
+
 MAX_CUCKOO_KICKS = 500  # cuckoofilter.go:19
 
 _MURMUR_C = 0x5BD1E995  # shared with alt_index (cuckoofilter.go:105-108)

@@ -308,3 +308,98 @@ def test_sharded_vacuum_udf_and_delete(spark, keys_df):
     gone = keys_df.limit(50)
     after = sharded_delete(gone, "key", build)
     assert sum(m["deleted"] for m in after.metrics) == 50
+
+
+def test_shard_format_version_gates_stale_artifacts(spark, keys_df, tmp_path):
+    """ADVICE r4: shard parquet persisted before the r4 routing/vacuum
+    changes must fail loud on probe, not return silent false negatives.
+    Pre-r5 artifacts have no format_version column; wrong-version rows
+    are rejected too."""
+    from cuckoo_filter_spark.operators.sharded import (
+        SHARD_FORMAT_VERSION,
+        build_sharded_cuckoo_filter,
+        check_shard_format,
+        load_sharded_blobs,
+        sharded_might_contain_join,
+    )
+
+    path = str(tmp_path / "shards.parquet")
+    build = build_sharded_cuckoo_filter(
+        keys_df, "key", capacity=2_000, num_shards=4, output_path=path)
+    # current-format artifact loads and probes fine
+    assert len(load_sharded_blobs(spark, path)) == 4
+    probe = keys_df.limit(50)
+    assert (sharded_might_contain_join(probe, "key", build)
+            .where(F.col("might_contain")).count() == 50)
+
+    # stale: column missing entirely (pre-r5 artifact)
+    stale_dir = str(tmp_path / "stale.parquet")
+    spark.read.parquet(path).drop("format_version").write.parquet(stale_dir)
+    with pytest.raises(ValueError, match="unversioned shard artifact"):
+        load_sharded_blobs(spark, stale_dir)
+    build.path = stale_dir
+    build.blobs = {}
+    with pytest.raises(ValueError, match="unversioned shard artifact"):
+        sharded_might_contain_join(probe, "key", build).count()
+
+    # stale: wrong version value
+    wrong_dir = str(tmp_path / "wrong.parquet")
+    (spark.read.parquet(path)
+     .withColumn("format_version", F.lit(SHARD_FORMAT_VERSION - 1))
+     .write.parquet(wrong_dir))
+    with pytest.raises(ValueError, match="format_version"):
+        check_shard_format(spark.read.parquet(wrong_dir), "test")
+
+
+def test_checkpoint_manifest_rejects_stale_format(spark, keys_df, tmp_path):
+    """A pre-r5 checkpoint dir (manifest without format_version) must
+    refuse to resume instead of silently mixing shard formats."""
+    import json
+    import os
+
+    from cuckoo_filter_spark.operators.checkpoint import build_checkpointed
+
+    ckpt = str(tmp_path / "ckpt")
+    build_checkpointed(
+        keys_df, "key", checkpoint_dir=ckpt, capacity=2_000, num_shards=4)
+    mp = os.path.join(ckpt, "_build_manifest.json")
+    m = json.loads(open(mp).read())
+    assert m["format_version"] == 2
+    del m["format_version"]  # simulate a pre-r5 checkpoint
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="different build"):
+        build_checkpointed(
+            keys_df, "key", checkpoint_dir=ckpt, capacity=2_000, num_shards=4)
+
+
+def test_shard_router_no_index_confinement_at_large_geometry():
+    """VERDICT r4 #6: at S=2^17 shards x nb=2^22 per-shard buckets (the
+    10^12-key regime that motivated the independent re-hash; S x nb =
+    2^39 >> 2^32) every shard's primary-index distribution must span the
+    full bucket range. Pre-r4 top-of-hash shard bits confined each
+    shard's hi32 to a 2^32/S slice, i.e. an index span of ~nb/128 at
+    this geometry. Hash-level only — no table is built."""
+    from cuckoo_filter_spark.operators.sharded import shard_of
+    from cuckoo_filter_spark.params import TABLE_SINGLE, CuckooParams
+
+    S, nb = 1 << 17, 1 << 22
+    p = CuckooParams(4, 16, nb, TABLE_SINGLE)
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**64, 4_000_000, dtype=np.uint64)
+    shards = shard_of(h, S)
+    idx, _ = p.split(h)
+
+    order = np.argsort(shards, kind="stable")
+    ii = idx[order].astype(np.int64)
+    ss = shards[order]
+    starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+    counts = np.diff(np.r_[starts, len(ss)])
+    mins = np.minimum.reduceat(ii, starts)
+    maxs = np.maximum.reduceat(ii, starts)
+    spans = (maxs - mins)[counts >= 12] / nb
+    assert len(spans) > 50_000  # ~all 2^17 shards are populated
+    # uniform per-shard indices: expected span with n>=12 samples is
+    # (n-1)/(n+1) >= 0.84; slice confinement would pin ~0.008
+    assert spans.mean() > 0.5, spans.mean()
+    assert (spans > 0.25).mean() > 0.95, (spans > 0.25).mean()

@@ -270,3 +270,31 @@ def test_vacuum_small_chunk_sized_capacity_holds(chunk):
     assert len(first) == n
     stored = kern.insert_pairs(idx[first], tag[first], dedupe=True)
     assert stored == n  # no overflow at the sizing target
+
+
+def test_vacuum_blob_version_fails_loud_on_stale_format():
+    """ADVICE r4: the r4 alt-range clamp changed vacuum probe semantics;
+    a pre-r5 vacuum blob (whose byte at the version position is
+    tags_per_bucket, 2/4/8) must raise, not silently probe wrong."""
+    import struct
+
+    from cuckoo_filter_spark.params import VACUUM_BLOB_VERSION
+
+    p = CuckooParams.for_capacity_vacuum(10_000, 4, 16)
+    kern = CuckooKernel(p)
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**64, 5_000, dtype=np.uint64)
+    idx, tag = p.split(h)
+    kern.add_unique_hashed(idx, tag)
+    blob = kern.to_bytes()
+    assert blob[14] == VACUUM_BLOB_VERSION
+    # round-trips under the current version...
+    assert CuckooKernel.from_bytes(blob).to_bytes() == blob
+    assert CuckooProbe(blob).contain_hashed(idx, tag).all()
+    # ...and fails loud when the version byte holds a pre-r5 value
+    for stale in (2, 4, 8):
+        bad = blob[:14] + bytes([stale]) + blob[15:]
+        with pytest.raises(ValueError, match="incompatible revision"):
+            CuckooKernel.from_bytes(bad)
+        with pytest.raises(ValueError, match="incompatible revision"):
+            CuckooProbe(bad)
