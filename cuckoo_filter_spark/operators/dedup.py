@@ -606,10 +606,15 @@ def embedding_near_dup_pairs(
             f"threshold={threshold}, below target_recall={target_recall} "
             f"— lower n_planes / raise n_tables, or accept the recall "
             f"(exact duplicates are still always found)")
+    # ADVICE r4: probe the dimension from the first NON-NULL vector — a
+    # null in row 1 must not make a populated corpus read as empty (and
+    # silently return zero pairs). Null-vector rows can match nothing,
+    # so they are dropped from the candidate scan entirely.
+    df = df.where(F.col(vec_col).isNotNull())
     first = df.select(vec_col).first()
-    if first is None or first[0] is None:
-        # empty corpus (or all-null vectors in row 1): no pairs — return
-        # an empty, correctly-typed frame instead of dying on len(None)
+    if first is None:
+        # genuinely empty corpus (no non-null vectors): no pairs —
+        # return an empty, correctly-typed frame
         id_t = df.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
             [], f"id_a {id_t}, id_b {id_t}, cosine double")

@@ -306,6 +306,15 @@ def grouped_might_contain_join(
         if len(right) == 0:
             out[flag_col] = False
             return out
+        if len(right) > 1:
+            # ADVICE r4: probing only blob row 0 would silently drop
+            # the other filters' memberships (false negatives) — e.g.
+            # an accidental union of two builds' filter frames
+            raise ValueError(
+                f"grouped_might_contain_join: {len(right)} blob rows "
+                f"for one (group[, salt]) — the filters frame must "
+                f"carry exactly one row per group (were two builds "
+                f"unioned?)")
         kern = CuckooProbe(bytes(right["blob"].iloc[0]))
         if hash_fn == "xxhash64":
             h = left["__h"].to_numpy(dtype="int64").view(np.uint64)

@@ -315,3 +315,24 @@ def test_embedding_near_dup_bucket_cap_warns(spark):
         assert any("bucket_cap" in str(x.message) for x in w)
     # capped: only pairs among the 5 survivors per (table, bucket)
     assert 0 < len(pairs) <= 2 * 10  # << C(50,2)
+
+
+def test_embedding_dedup_null_first_row_not_empty(spark):
+    """ADVICE r4: a null vector in row 1 must not make a populated
+    corpus read as empty (silent zero pairs); null-vector rows simply
+    can't pair."""
+    from cuckoo_filter_spark.operators.dedup import embedding_near_dup_pairs
+
+    vecs = [[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [(0, None)] + [(i + 1, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id bigint, vec array<double>").coalesce(1)
+    pairs = embedding_near_dup_pairs(df, "vec", "id", threshold=0.99,
+                                     n_planes=4, n_tables=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(0 in p for p in got)
+    # genuinely empty (all nulls) still returns a typed empty frame
+    empty = spark.createDataFrame([(0, None), (1, None)],
+                                  "id bigint, vec array<double>")
+    assert embedding_near_dup_pairs(empty, "vec", "id", threshold=0.99,
+                                    n_planes=4, n_tables=4).count() == 0

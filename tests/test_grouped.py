@@ -187,3 +187,23 @@ def test_grouped_probe_rejects_prebuilt_xxhash_filters(spark, docs):
     seen = docs.where(F.col("doc_id") < 100)
     with pytest.raises(ValueError, match="metro64"):
         grouped_anti_join(docs, "lang", "text", seen, filters=filters)
+
+
+def test_grouped_cogroup_join_rejects_duplicate_blob_rows(spark):
+    """ADVICE r4: two blob rows for one group (e.g. an accidental union
+    of two builds' filter frames) must raise — probing only row 0 would
+    silently drop the other filter's memberships (false negatives)."""
+    from cuckoo_filter_spark.operators.grouped import (
+        build_grouped_filters,
+        grouped_might_contain_join,
+    )
+
+    df = spark.createDataFrame(
+        [("a", f"k{i}") for i in range(200)] + [("b", f"k{i}") for i in range(200)],
+        "g string, key string")
+    filters = build_grouped_filters(df, "g", "key")
+    ok = grouped_might_contain_join(df, "g", "key", filters)
+    assert ok.where(F.col("might_contain")).count() == 400
+    doubled = filters.unionByName(filters)
+    with pytest.raises(Exception, match="blob rows"):
+        grouped_might_contain_join(df, "g", "key", doubled).collect()
