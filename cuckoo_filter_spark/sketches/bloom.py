@@ -116,3 +116,71 @@ def bloom_might_contain_udf(spark, sketch: "BloomSketch | bytes"):
         return probe(c)
 
     return might_contain
+
+
+def build_bloom_deferred(df, key_col: str, fpp: float = 0.01,
+                         capacity_hint: int | None = None):
+    """Distributed Bloom build with DEFERRED sizing — no capacity
+    ``count()`` scan of the build side (VERDICT r4 #4; the cuckoo
+    deferred-sizing pattern, operators/build.py).
+
+    A Bloom's geometry (n_bits, n_hashes) must be fixed before any
+    insert and must match across partials for the OR-merge, so sizing
+    genuinely needs the count first. Instead of scanning the source
+    twice, the ONE source scan emits each key's metro64 hash (the same
+    single hash evaluation every insert needs anyway); the slim 8 B/row
+    hash frame is localCheckpointed, its count sizes the filter, and
+    the partial blooms are built FROM THE CHECKPOINT via update_hashed
+    — the source is never rescanned. With ``capacity_hint`` (pipeline
+    knowledge; an upper bound is fine, extra bits only lower the FP
+    rate) even the hash checkpoint is skipped and the classic one-pass
+    ``build_sketch`` path runs.
+
+    Returns (BloomSketch, metrics) like ``build_sketch``.
+    """
+    from cuckoo_filter_spark.sketches.base import build_sketch
+
+    if capacity_hint is not None:
+        return build_sketch(
+            df, key_col,
+            lambda: BloomSketch(capacity=max(capacity_hint, 64), fpp=fpp))
+
+    import time
+
+    def hasher(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {"h": metro64_batch(pdf[key_col]).view(np.int64)})
+
+    hashed = df.select(key_col).mapInPandas(hasher, "h bigint").localCheckpoint()
+    n = hashed.count()  # reads the checkpoint, not the source
+    schema = "partition_id int, rows bigint, wall_ms double, blob binary"
+
+    def partial(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        sk = BloomSketch(capacity=max(n, 64), fpp=fpp)
+        rows = 0
+        t0 = time.perf_counter()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows += len(pdf)
+            sk.update_hashed(pdf["h"].to_numpy(dtype="int64").view(np.uint64))
+        yield pd.DataFrame(
+            {"partition_id": [pid], "rows": [rows],
+             "wall_ms": [(time.perf_counter() - t0) * 1000.0],
+             "blob": [sk.to_bytes()]})
+
+    rows = hashed.mapInPandas(partial, schema).collect()
+    metrics = [
+        {"partition_id": r["partition_id"], "rows": r["rows"],
+         "wall_ms": r["wall_ms"]} for r in rows
+    ]
+    merged = BloomSketch(capacity=max(n, 64), fpp=fpp)
+    for r in rows:
+        if r["rows"] > 0:
+            merged = merged.merge(BloomSketch.from_bytes(bytes(r["blob"])))
+    return merged, metrics

@@ -189,3 +189,28 @@ def test_sketch_spark_builds(spark):
     bl, _ = build_sketch(ev, "user_id", lambda: BloomSketch(n_bits=1 << 14, n_hashes=7))
     users = pd.Series([r["user_id"] for r in ev.select("user_id").distinct().collect()])
     assert bl.contains(users).all()
+
+
+def test_build_bloom_deferred_matches_counted_build(spark):
+    """VERDICT r4 #4: deferred sizing (hash checkpoint -> count -> size
+    -> insert from checkpoint) must produce byte-identical bits to the
+    classic count-then-build path, with no rescan of the source."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.sketches import BloomSketch
+    from cuckoo_filter_spark.sketches.base import build_sketch
+    from cuckoo_filter_spark.sketches.bloom import build_bloom_deferred
+
+    df = spark.range(5_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    n = df.count()
+    ref, _ = build_sketch(df, "key", lambda: BloomSketch(capacity=n, fpp=0.01))
+    got, metrics = build_bloom_deferred(df, "key", fpp=0.01)
+    assert (got.n_bits, got.n_hashes) == (ref.n_bits, ref.n_hashes)
+    assert np.array_equal(got.bits, ref.bits)
+    assert sum(m["rows"] for m in metrics) == n
+    # capacity_hint path: one-pass, still no false negatives
+    hinted, _ = build_bloom_deferred(df, "key", fpp=0.01, capacity_hint=2 * n)
+    assert hinted.contains(
+        pd.Series([f"k{i}" for i in range(0, 5_000, 7)])).all()
