@@ -117,7 +117,10 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoo_filter_spark.operators.build import count_distinct_exact
 
     ev = _t(spark, sf_dir, "events")
-    n = count_distinct_exact(ev, "user_id")
+    # est_rows: a declared upper bound (pipeline knowledge, no scan) —
+    # sizes partitions so no in-memory accumulator exceeds
+    # ~KEYS_PER_COUNT_PARTITION keys; a no-op at test scale
+    n = count_distinct_exact(ev, "user_id", est_rows=10_000_000)
     return spark.createDataFrame([(n,)], "n_users bigint")
 
 
@@ -158,6 +161,24 @@ def q_grouped_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         new_docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_new"))
         .orderBy("source")
+    )
+
+
+def q_grouped_auto_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouped_anti_join through via='auto' (VERDICT r4 #5): the router
+    counts the one-row-per-group filters frame with a LIMIT-bounded job
+    and picks the broadcast probe here — documents has a handful of
+    source groups, far under AUTO_COGROUP_GROUPS (2048). The cogroup
+    side of the router is exercised under the oracle gate by
+    grouped_incremental_dedup (via='cogroup' pinned)."""
+    from cuckoo_filter_spark.operators.grouped import grouped_anti_join
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 400)
+    new_docs = grouped_anti_join(docs, "source", "text", seen, via="auto")
+    return (
+        new_docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_new"))
+        .orderBy("lang")
     )
 
 
@@ -318,18 +339,21 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuckoo prune (same prune-then-verify pattern, no false negatives):
     mergeable distributed Bloom build over high-value order keys,
     broadcast probe over lineitem, exact verification."""
-    from cuckoo_filter_spark.sketches import BloomSketch
-    from cuckoo_filter_spark.sketches.base import build_sketch
-    from cuckoo_filter_spark.sketches.bloom import bloom_might_contain_udf
+    from cuckoo_filter_spark.sketches.bloom import (
+        bloom_might_contain_udf,
+        build_bloom_deferred,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     hi = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
-    n = hi.count()
-    bloom, _ = build_sketch(
-        hi, "o_orderkey", lambda: BloomSketch(capacity=max(n, 64), fpp=0.01))
+    # exactly ONE scan of the build side (VERDICT r4 #4): the key frame
+    # is checkpointed once and feeds BOTH the deferred-sized bloom build
+    # (which hashes + counts the slim checkpoint, never rescanning
+    # orders) and the exact verification join
+    rhs = hi.select("o_orderkey").localCheckpoint()
+    bloom, _ = build_bloom_deferred(rhs, "o_orderkey", fpp=0.01)
     mc = bloom_might_contain_udf(spark, bloom)
     pruned = li.where(mc(F.col("l_orderkey")))
-    rhs = hi.select("o_orderkey")
     exact = pruned.join(rhs, pruned["l_orderkey"] == rhs["o_orderkey"],
                         "left_semi")
     return (
@@ -799,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "grouped_lang_distinct": q_grouped_lang_distinct,
         "grouped_incremental_dedup": q_grouped_incremental_dedup,
+        "grouped_auto_dedup": q_grouped_auto_dedup,
         "delete_workload": q_delete_workload,
         "token_stats": q_token_stats,
         "minhash_dedup": q_minhash_dedup,
@@ -879,6 +904,15 @@ def oracle_sql() -> dict[str, str]:
                 WHERE s.doc_id < 250 AND s.lang = d.lang AND s.text = d.text)
             GROUP BY source
             ORDER BY source
+        """,
+        "grouped_auto_dedup": """
+            SELECT lang, COUNT(*) AS n_new
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents s
+                WHERE s.doc_id < 400 AND s.source = d.source AND s.text = d.text)
+            GROUP BY lang
+            ORDER BY lang
         """,
         "delete_workload": """
             SELECT l_linestatus, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
