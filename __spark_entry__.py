@@ -364,6 +364,43 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier normalization the
+    north-star url workload needs before any membership filter: four
+    deterministic spellings of each logical URL (case-folded host +
+    default port + shuffled query params / non-default port / fragment)
+    are synthesized from order keys (planted-fixture pattern, no url
+    column in the test tables); canonical_url (functions/web.py, pure
+    JVM expressions) collapses the equivalent spellings and the oracle
+    recomputes the same RFC-3986-lite rules in SQL. n_canon < n_raw
+    shows the collapse is real: variants 0/1/3 of each logical URL
+    canonicalize equal, the :8443 variant stays distinct."""
+    from cuckoo_filter_spark.functions.web import canonical_url
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    m = F.floor(k / 4)  # logical URL id: keys 4m..4m+3 spell the same URL
+    h = (m % 97).cast("string")
+    item = (m % 500).cast("string")
+    v0 = F.concat(F.lit("https://www.shop"), h, F.lit(".example.com/item/"),
+                  item, F.lit("?a=1&b=2"))
+    v1 = F.concat(F.lit("HTTPS://WWW.Shop"), h, F.lit(".EXAMPLE.COM:443/item/"),
+                  item, F.lit("?b=2&a=1"))
+    v2 = F.concat(F.lit("https://www.shop"), h, F.lit(".example.com:8443/item/"),
+                  item, F.lit("?a=1&b=2"))
+    v3 = F.concat(F.lit("https://www.shop"), h, F.lit(".example.com/item/"),
+                  item, F.lit("?a=1&b=2#f"), k.cast("string"))
+    url = (F.when(k % 4 == 0, v0).when(k % 4 == 1, v1)
+           .when(k % 4 == 2, v2).otherwise(v3))
+    urls = o.select((m % 10).cast("int").alias("bucket"), url.alias("url"))
+    return (
+        urls.groupBy("bucket")
+        .agg(F.countDistinct("url").alias("n_raw"),
+             F.countDistinct(canonical_url("url")).alias("n_canon"))
+        .orderBy("bucket")
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min candidate pruning + exact verification: top-3 event
     types by count. CMS never underestimates, so candidates within the
@@ -832,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "embedding_dedup": q_embedding_dedup,
         "bloom_semi_join": q_bloom_semi_join,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "heavy_hitters": q_heavy_hitters,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -987,6 +1025,41 @@ def oracle_sql() -> dict[str, str]:
             FROM batch a JOIN batch b
               ON a.embedding = b.embedding AND a.vec_id < b.vec_id
             ORDER BY id_a, id_b
+        """,
+        "url_canonical_dedup": r"""
+            WITH urls AS (
+              SELECT o_orderkey AS k,
+                CASE CAST(o_orderkey % 4 AS INT)
+                  WHEN 0 THEN 'https://www.shop' || ((o_orderkey // 4) % 97) || '.example.com/item/' || ((o_orderkey // 4) % 500) || '?a=1&b=2'
+                  WHEN 1 THEN 'HTTPS://WWW.Shop' || ((o_orderkey // 4) % 97) || '.EXAMPLE.COM:443/item/' || ((o_orderkey // 4) % 500) || '?b=2&a=1'
+                  WHEN 2 THEN 'https://www.shop' || ((o_orderkey // 4) % 97) || '.example.com:8443/item/' || ((o_orderkey // 4) % 500) || '?a=1&b=2'
+                  ELSE 'https://www.shop' || ((o_orderkey // 4) % 97) || '.example.com/item/' || ((o_orderkey // 4) % 500) || '?a=1&b=2#f' || o_orderkey
+                END AS url
+              FROM orders
+            ), parts AS (
+              -- recompute canonical_url's RFC-3986-lite rules in SQL
+              SELECT k, url,
+                regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                regexp_replace(regexp_extract(url, '://([^/?#]*)', 1), '^.*@', '') AS hostport,
+                regexp_extract(url, '://[^/?#]*([^?#]*)', 1) AS path,
+                CASE WHEN url LIKE '%?%' THEN regexp_extract(url, '\?([^#]*)', 1) END AS q
+              FROM urls
+            ), canon AS (
+              SELECT k, url,
+                lower(scheme) || '://' || lower(regexp_replace(hostport, ':[0-9]+$', '')) ||
+                CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                      AND NOT (lower(scheme) = 'http'  AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+                      AND NOT (lower(scheme) = 'https' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443')
+                  THEN ':' || regexp_extract(hostport, ':([0-9]+)$', 1) ELSE '' END ||
+                CASE WHEN path = '' THEN '/' ELSE path END ||
+                CASE WHEN q IS NOT NULL AND q <> '' THEN '?' || array_to_string(list_sort(string_split(q, '&')), '&') ELSE '' END
+                AS curl
+              FROM parts
+            )
+            SELECT CAST((k // 4) % 10 AS INT) AS bucket,
+                   COUNT(DISTINCT url) AS n_raw,
+                   COUNT(DISTINCT curl) AS n_canon
+            FROM canon GROUP BY bucket ORDER BY bucket
         """,
         "bloom_semi_join": """
             SELECT l_linestatus, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty

@@ -9,10 +9,13 @@ from cuckoo_filter_spark.functions.text import (
     quality_features,
     token_count_expr,
 )
+from cuckoo_filter_spark.functions.web import canonical_url, host_of
 
 __all__ = [
     "token_count_expr",
     "quality_features",
     "lang_id_udf",
     "doc_fingerprint_udf",
+    "canonical_url",
+    "host_of",
 ]

@@ -77,3 +77,32 @@ def test_doc_fingerprint_deterministic(spark, texts_df):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     vals = {r["fp"] for r in a}
     assert len(vals) == len(a)  # distinct texts → distinct fingerprints
+
+
+def test_canonical_url_rules(spark):
+    """functions/web.py: RFC-3986-lite canonicalization — host/scheme
+    case-folding, userinfo drop, default-port strip, query sort,
+    fragment drop, empty-path slash; malformed input is identity."""
+    from cuckoo_filter_spark.functions.web import canonical_url, host_of
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://User:Pw@WWW.Ex.COM:443/A/b?b=2&a=1#frag",
+         "https://www.ex.com/A/b?a=1&b=2"),
+        ("http://EX.com:80/x?z=1", "http://ex.com/x?z=1"),
+        ("http://ex.com:8080", "http://ex.com:8080/"),
+        ("https://ex.com/", "https://ex.com/"),
+        ("https://ex.com/p?single=1", "https://ex.com/p?single=1"),
+        ("not a url at all", "not a url at all"),  # identity, not null
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in
+           df.select(canonical_url("url")).collect()]
+    assert got == [e for _, e in cases], got
+    hosts = [r[0] for r in df.select(host_of("url")).collect()]
+    assert hosts[:3] == ["www.ex.com", "ex.com", "ex.com"]
+    # canonical_url is idempotent
+    got2 = [r[0] for r in
+            spark.createDataFrame([(g,) for g in got], "url string")
+            .select(canonical_url("url")).collect()]
+    assert got2 == got
