@@ -267,6 +267,34 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_byte_equal(batch, cands.select("id_a", "id_b"))
 
 
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (k=5 byte-shingle) Jaccard dedup, oracle-gated: all
+    pairs of a bounded planted slice scored with exact_jaccard_udf and
+    kept at jaccard >= 0.8. The DuckDB oracle recomputes TRUE set
+    Jaccard from substr shingles — pinning that the vectorized
+    hashed-shingle path computes the real measure, not an
+    approximation. The crossJoin is bounded (100 docs) and documented:
+    at corpus scale the pair generator is minhash/simhash LSH
+    (minhash_dedup, simhash_dedup) and exact Jaccard is the per-pair
+    verifier, exactly as minhash_near_dup_pairs composes it."""
+    from cuckoo_filter_spark.operators.dedup import exact_jaccard_udf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    small = docs.where(F.col("doc_id") < 50)
+    copies = small.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    d = small.unionByName(copies)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    jac = exact_jaccard_udf(5)
+    return (
+        pairs.withColumn("j", jac(F.col("ta"), F.col("tb")))
+        .where(F.col("j") >= 0.8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate detection via SimHash pigeonhole candidates
     (hamming ≤ 3) + byte-equality verification, same planted batch."""
@@ -864,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_workload": q_delete_workload,
         "token_stats": q_token_stats,
         "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
         "content_hash_dedup": q_content_hash_dedup,
         "near_dup_clusters": q_near_dup_clusters,
@@ -978,6 +1007,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM batch a JOIN batch b ON a.text = b.text AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
+        """,
+        "ngram_jaccard_dedup": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+            ),
+            -- TRUE k=5 shingle sets via substr (ASCII corpus: byte == char)
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(g.i AS INT), 5) AS s
+              FROM d, LATERAL unnest(generate_series(1, length(text) - 4)) AS g(i)
+              WHERE length(text) >= 5
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
             ORDER BY id_a, id_b
         """,
         "simhash_dedup": """

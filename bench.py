@@ -207,9 +207,15 @@ def _load_ref() -> dict:
     win when their geometry (row count) differs; at matching geometry
     the best-evidenced quiet rate across rounds is the bar."""
     import glob
+    import re
+
+    def round_no(path: str) -> int:  # r10 sorts after r3 (not stringly)
+        m = re.match(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else 0
 
     snaps = []
-    for p in sorted(glob.glob(os.path.join(_SNAP_DIR, "r[0-9]*_*q*.json"))):
+    for p in sorted(glob.glob(os.path.join(_SNAP_DIR, "r[0-9]*_*q*.json")),
+                    key=round_no):
         try:
             with open(p) as f:
                 snaps.append(json.load(f))
