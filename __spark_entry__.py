@@ -280,7 +280,11 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoo_filter_spark.operators.dedup import exact_jaccard_udf
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    small = docs.where(F.col("doc_id") < 50)
+    # exclude docs shorter than one shingle on BOTH sides: the UDF
+    # defines empty-vs-empty as jaccard 1.0 while shingle-set SQL has
+    # no row to emit for them — a semantic mismatch this slice must
+    # never depend on
+    small = docs.where((F.col("doc_id") < 50) & (F.length("text") >= 5))
     copies = small.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
     d = small.unionByName(copies)
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
@@ -1011,9 +1015,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_dedup": """
             WITH d AS (
-              SELECT doc_id, text FROM documents WHERE doc_id < 50
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 50 AND length(text) >= 5
               UNION ALL
-              SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id < 50 AND length(text) >= 5
             ),
             -- TRUE k=5 shingle sets via substr (ASCII corpus: byte == char)
             sh AS (

@@ -223,19 +223,20 @@ def _load_ref() -> dict:
             pass
     ref: dict = {}
     for sec, (rate_key, rows_key) in SECTION_GATES.items():
-        best = None
-        for s in snaps:
-            d = s.get(sec)
-            if not isinstance(d, dict) or rate_key not in d:
-                continue
-            if best is None or (
-                rows_key is not None and d.get(rows_key) != best.get(rows_key)
-            ):
-                best = dict(d)  # later snapshot's geometry wins outright
-            elif d[rate_key] > best[rate_key]:
-                best[rate_key] = d[rate_key]
-        if best is not None:
-            ref[sec] = best
+        secs = [s[sec] for s in snaps
+                if isinstance(s.get(sec), dict) and rate_key in s[sec]]
+        if not secs:
+            continue
+        # geometry of record = the LATEST snapshot's; the max is taken
+        # over ALL snapshots at that geometry (not a chain — a single
+        # intervening off-geometry smoke snapshot must not reset the
+        # bar to whatever came after it)
+        geom = secs[-1].get(rows_key) if rows_key is not None else None
+        match = [d for d in secs
+                 if rows_key is None or d.get(rows_key) == geom]
+        best = dict(secs[-1])
+        best[rate_key] = max(d[rate_key] for d in match)
+        ref[sec] = best
     return ref
 
 
@@ -599,8 +600,14 @@ def main() -> None:
 
     sections = {"build": build, "high_load": high_load, "probe": probe,
                 "kernel": kernel}
-    suspects = _gate_history_update(
-        {s: sections[s].get("gate_ratio") for s in contended})
+    # only GATED runs enter the cap-out history: a smoke run (off
+    # rows/cpus, every ref None) would otherwise append capped={} and
+    # wipe the back-to-back signal a real regression needs to trip
+    if any("ref_rate" in s for s in sections.values()):
+        suspects = _gate_history_update(
+            {s: sections[s].get("gate_ratio") for s in contended})
+    else:
+        suspects = []
     full = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -666,8 +666,11 @@ class CuckooKernel:
             # our extension: not a Go layout (num_buckets isn't pow2),
             # so it carries a format version byte — r4's alt-range
             # clamp changed probe semantics and pre-r5 blobs must fail
-            # loud rather than return silent false negatives
-            return head + struct.pack("<BBBBII", TABLE_VACUUM,
+            # loud rather than return silent false negatives. 3 pad
+            # bytes keep the table section 4-byte aligned (offset 28)
+            # so CuckooProbe's zero-copy u2/u4 views stay ALIGNED=True
+            # on the hot probe path.
+            return head + struct.pack("<BBBBII3x", TABLE_VACUUM,
                                       VACUUM_BLOB_VERSION, p.tags_per_bucket,
                                       p.bits_per_item, p.num_buckets,
                                       p.chunk_buckets)
@@ -723,7 +726,7 @@ class CuckooKernel:
             ver, b, f, nb, chunk = struct.unpack_from("<BBBII", data, 14)
             _check_vacuum_version(ver)
             params = CuckooParams(b, f, nb, TABLE_VACUUM, chunk)
-            slots = bitpack.unpack_single(data[25:], nb, b, f)
+            slots = bitpack.unpack_single(data[28:], nb, b, f)
         else:
             b, f, nb = struct.unpack_from("<BBI", data, 14)
             params = CuckooParams(b, f, nb, TABLE_SINGLE)
@@ -807,7 +810,7 @@ class CuckooProbe:
                 dt = {8: "<u1", 16: "<u2", 32: "<u4"}[f]
                 self.params = CuckooParams(b, f, nb, TABLE_VACUUM, chunk)
                 self.slots = np.frombuffer(
-                    data, dtype=dt, count=nb * b, offset=25).reshape(nb, b)
+                    data, dtype=dt, count=nb * b, offset=28).reshape(nb, b)
                 self.zero_copy = True
                 return
         kern = CuckooKernel.from_bytes(data)

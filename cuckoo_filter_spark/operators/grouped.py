@@ -208,6 +208,14 @@ def grouped_might_contain_udf(spark, filters: DataFrame | dict):
                 f"grouped filters built with {sorted(bad)}; the grouped "
                 f"probe hashes with metro64 and would miss every member")
         blobs = {r[0]: bytes(r["blob"]) for r in rows}
+        if len(blobs) != len(rows):
+            # same guard as the cogroup probe: dict construction would
+            # keep ONE blob per group and silently drop the other
+            # filters' memberships (false negatives)
+            raise ValueError(
+                f"grouped filters frame has {len(rows)} blob rows but "
+                f"only {len(blobs)} distinct groups — duplicate rows "
+                f"per group (were two builds unioned?)")
     else:
         blobs = {g: bytes(b) for g, b in filters.items()}
     bcast = spark.sparkContext.broadcast(blobs)
@@ -362,6 +370,11 @@ def grouped_anti_join(
     if filters is None:
         filters = build_grouped_filters(seen, group_col, key_col, **build_kwargs)
     if via == "auto":
+        # materialize the filters ONCE: the routing count below and the
+        # chosen probe would otherwise each recompute the full two-phase
+        # grouped build (limit() cannot short-circuit through the
+        # build's aggregation shuffle)
+        filters = filters.localCheckpoint()
         # one tiny agg over the one-row-per-group filters frame; limit()
         # bounds the job at the threshold instead of a full count
         over = filters.limit(AUTO_COGROUP_GROUPS + 1).count()

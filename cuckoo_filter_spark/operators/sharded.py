@@ -410,7 +410,10 @@ def sharded_might_contain_join(
         sdf = spark.read.parquet(build.path)
         check_shard_format(sdf, "sharded_might_contain_join")
         shards_df = sdf.select("shard", "blob")
-    elif "format_version" in shards_df.columns:
+    else:
+        # explicitly-passed frames get the SAME guard: every legit
+        # producer stamps format_version, so a frame without it is a
+        # stale pre-r5 artifact (silent false negatives if probed)
         check_shard_format(shards_df, "sharded_might_contain_join")
         shards_df = shards_df.select("shard", "blob")
     params = build.params
@@ -501,10 +504,17 @@ def sharded_delete(
             check_shard_format(sdf, "sharded_delete")
             shards_df = sdf.select("shard", "blob")
         else:
+            # in-session blobs from the live build object: trusted
+            # (current code produced them), no version column needed
             shards_df = spark.createDataFrame(
                 [(int(s), bytearray(b)) for s, b in build.blobs.items()],
                 "shard int, blob binary",
             )
+    else:
+        # explicitly-passed frames: same stale-artifact guard as the
+        # probe join — legit producers always stamp format_version
+        check_shard_format(shards_df, "sharded_delete")
+        shards_df = shards_df.select("shard", "blob")
     params = build.params
     num_shards = build.num_shards
     hash_fn = build.hash_fn

@@ -91,3 +91,22 @@ def test_gate_history_flags_back_to_back_capouts(tmp_path, monkeypatch):
     assert bench._gate_history_update({}) == []
     hist = json.loads((tmp_path / "hist.json").read_text())
     assert len(hist) == 4 and hist[1]["capped"] == {"probe": 0.5, "build": 0.6}
+
+
+def test_load_ref_ignores_intervening_offgeometry_snapshot(tmp_path, monkeypatch):
+    """An off-geometry smoke snapshot between two full-geometry rounds
+    must not reset the merged bar to whatever came after it: the
+    geometry of record is the LATEST snapshot's, and the max is over
+    ALL snapshots at that geometry."""
+    for name, rows, rate in (("r3_a_30q", 8_000_000, 10.0),
+                             ("r4_smoke_30q", 4_000_000, 3.0),
+                             ("r5_b_33q", 8_000_000, 7.0)):
+        (tmp_path / f"{name}.json").write_text(json.dumps({
+            "build": {"rows": rows, "inserts_per_sec": rate},
+            "kernel": {"hash_32B_keys_per_sec": rate},
+        }))
+    monkeypatch.setattr(bench, "_SNAP_DIR", str(tmp_path))
+    ref = bench._load_ref()
+    assert ref["build"]["inserts_per_sec"] == 10.0  # not 7.0 (chain reset)
+    assert ref["build"]["rows"] == 8_000_000
+    assert ref["kernel"]["hash_32B_keys_per_sec"] == 10.0  # no geometry key

@@ -207,3 +207,9 @@ def test_grouped_cogroup_join_rejects_duplicate_blob_rows(spark):
     doubled = filters.unionByName(filters)
     with pytest.raises(Exception, match="blob rows"):
         grouped_might_contain_join(df, "g", "key", doubled).collect()
+    # the BROADCAST path guards too (dict construction would keep one
+    # blob per group and silently drop the other's memberships)
+    from cuckoo_filter_spark.operators.grouped import grouped_might_contain_udf
+
+    with pytest.raises(ValueError, match="duplicate rows"):
+        grouped_might_contain_udf(spark, doubled)

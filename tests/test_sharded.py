@@ -342,6 +342,17 @@ def test_shard_format_version_gates_stale_artifacts(spark, keys_df, tmp_path):
     with pytest.raises(ValueError, match="unversioned shard artifact"):
         sharded_might_contain_join(probe, "key", build).count()
 
+    # explicitly-passed frames get the same guard (join AND delete)
+    stale_frame = spark.read.parquet(stale_dir)
+    build.path = path
+    with pytest.raises(ValueError, match="unversioned shard artifact"):
+        sharded_might_contain_join(probe, "key", build,
+                                   shards_df=stale_frame).count()
+    from cuckoo_filter_spark.operators.sharded import sharded_delete
+
+    with pytest.raises(ValueError, match="unversioned shard artifact"):
+        sharded_delete(probe, "key", build, shards_df=stale_frame)
+
     # stale: wrong version value
     wrong_dir = str(tmp_path / "wrong.parquet")
     (spark.read.parquet(path)

@@ -290,7 +290,10 @@ def test_vacuum_blob_version_fails_loud_on_stale_format():
     assert blob[14] == VACUUM_BLOB_VERSION
     # round-trips under the current version...
     assert CuckooKernel.from_bytes(blob).to_bytes() == blob
-    assert CuckooProbe(blob).contain_hashed(idx, tag).all()
+    pr = CuckooProbe(blob)
+    assert pr.contain_hashed(idx, tag).all()
+    # header pad keeps the zero-copy view 4-byte aligned (hot path)
+    assert pr.zero_copy and pr.slots.flags["ALIGNED"]
     # ...and fails loud when the version byte holds a pre-r5 value
     for stale in (2, 4, 8):
         bad = blob[:14] + bytes([stale]) + blob[15:]
