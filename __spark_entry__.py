@@ -425,10 +425,15 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = (F.when(k % 4 == 0, v0).when(k % 4 == 1, v1)
            .when(k % 4 == 2, v2).otherwise(v3))
     urls = o.select((m % 10).cast("int").alias("bucket"), url.alias("url"))
+    # canonicalize in a PROJECTION before the aggregate: inside the
+    # multi-countDistinct agg the expression is re-evaluated through the
+    # Expand rewrite (one copy per distinct group) — measured 5.8s vs
+    # 3.0s at sf0.1. Projected once, each row parses its URL once.
+    pre = urls.select("bucket", "url", canonical_url("url").alias("canon"))
     return (
-        urls.groupBy("bucket")
+        pre.groupBy("bucket")
         .agg(F.countDistinct("url").alias("n_raw"),
-             F.countDistinct(canonical_url("url")).alias("n_canon"))
+             F.countDistinct("canon").alias("n_canon"))
         .orderBy("bucket")
     )
 
