@@ -255,7 +255,10 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling plumbing: expands (media_id, n_frames) into
     sampled frame indices JVM-side (sequence+filter); the per-frame
     decode is the stubbed step."""
-    vids = df.where(F.col("kind") == "video")
+    # n_frames > 0 guard: sequence(0, -1) yields the DESCENDING [0, -1],
+    # so a zero-frame video (corrupt / probe-failed metadata) would emit
+    # a phantom frame_idx=0 targeting a frame that does not exist
+    vids = df.where((F.col("kind") == "video") & (F.col("n_frames") > 0))
     return vids.select(
         "media_id",
         F.explode(
@@ -272,7 +275,12 @@ def resize_plan(df: DataFrame, target: int = 224) -> DataFrame:
     so Catalyst handles it; actual pixel resample is the stubbed step."""
     short = F.least("width", "height").cast("double")
     scale = F.lit(float(target)) / short
-    return df.where(F.col("kind") == "image").select(
+    # dimensions > 0 guard: 0 is this schema's in-band "not applicable"
+    # value (synth_media uses it for non-image kinds), and under Spark
+    # 4's default ANSI mode 224.0/0.0 would kill the whole job with
+    # DIVIDE_BY_ZERO; a zero-dimension image cannot be resized — drop it
+    return df.where((F.col("kind") == "image")
+                    & (F.col("width") > 0) & (F.col("height") > 0)).select(
         "media_id",
         F.round(F.col("width") * scale).cast("int").alias("out_w"),
         F.round(F.col("height") * scale).cast("int").alias("out_h"),

@@ -164,8 +164,6 @@ def shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     """Per-doc arrays of k-gram (character shingle) hashes, vectorized:
     one metro64 pass over all shingles of the batch."""
     t = texts.fillna("").astype(str)
-    lens = t.str.len().to_numpy()
-    n_shingles = np.maximum(lens - k + 1, 0)
     # build the flat shingle bytes with numpy stride tricks over the
     # concatenated utf-8 buffer of each doc
     out: list[np.ndarray] = []

@@ -37,6 +37,32 @@ def _manifest_path(d: str) -> str:
     return os.path.join(d, "_build_manifest.json")
 
 
+def _input_fingerprint(df, key_col: str) -> str:
+    """Cheap deterministic fingerprint of the build input — NO data scan.
+
+    sha256 over (key column type, the analyzed plan's semantic hash,
+    the sorted input file list). Catches the dangerous resume-mixing
+    cases: a different source path, a changed filter/projection, or a
+    refreshed file-based dataset (new/removed part files). NOT caught:
+    a file overwritten in place under the same name — at scale input
+    snapshots should be immutable paths; callers who rewrite in place
+    must pass an explicit ``input_fingerprint`` (e.g. a dataset version
+    id) instead."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(df.schema[key_col].dataType.simpleString().encode())
+    try:
+        h.update(str(df.semanticHash()).encode())
+    except Exception:
+        # plan hash unavailable (exotic plan/connect mode): the file
+        # list below still guards the refreshed-dataset case
+        pass
+    for f in sorted(df.inputFiles()):
+        h.update(f.encode())
+    return h.hexdigest()[:16]
+
+
 def _shards_dir(d: str) -> str:
     return os.path.join(d, "shards")
 
@@ -52,11 +78,19 @@ def build_checkpointed(
     table_type: int = 0,
     mode: str = "unique_local",
     headroom: float = 1.15,
+    input_fingerprint: str | None = None,
 ) -> ShardedCuckooBuild:
     """Build with shard-level checkpointing: already-completed shards are
     skipped; only missing shards are recomputed. Kill-and-rerun yields a
     bit-identical final filter (deterministic pair emission + sorted
-    combine order + seeded eviction)."""
+    combine order + seeded eviction).
+
+    The manifest embeds an input fingerprint (``_input_fingerprint``) so
+    resuming against a DIFFERENT input fails loud instead of silently
+    mixing shards from two datasets (false negatives from a structure
+    whose contract is "no false negatives"). Pass ``input_fingerprint``
+    explicitly when the derived one is unsuitable (in-place rewritten
+    paths, non-file sources)."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -73,6 +107,8 @@ def build_checkpointed(
         "mode": mode,
         "capacity": int(capacity),
         "key_col": key_col,
+        "input_fingerprint": input_fingerprint
+        or _input_fingerprint(df, key_col),
         # ADVICE r4: a pre-r5 checkpoint's shards were routed/probed
         # under different semantics — the manifest mismatch below fails
         # the resume loud instead of silently mixing formats

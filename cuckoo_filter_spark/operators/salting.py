@@ -80,12 +80,31 @@ def detect_hot_keys(
 
 def with_salt(
     df: DataFrame, key_col: str, hot_keys: list, num_salts: int = 16,
-    salt_col: str = "__salt",
+    salt_col: str = "__salt", spread_cols: list | None = None,
 ) -> DataFrame:
-    """Adds salt ∈ [0, num_salts) for hot keys, 0 for the rest
-    (deterministic spread via a hash of a row-local component)."""
+    """Adds salt ∈ [0, num_salts) for hot keys, 0 for the rest.
+
+    The spread MUST be retry-deterministic: a salt from
+    ``monotonically_increasing_id()`` (or rand()) feeding a shuffle is
+    the classic Spark retry hazard — a lost executor recomputes its map
+    tasks, the id assigns differently on the second attempt, and rows
+    land under different salts than the map output already fetched by
+    finished reducers (rows double-counted or lost). The salt here is
+    xxhash64(all columns, spark_partition_id()): row content spreads
+    rows that differ anywhere; the partition id spreads byte-identical
+    duplicates sitting in different partitions and is itself stable
+    under retry (a partition re-executes with the same id and the same
+    rows — Spark sorts before round-robin exchanges to guarantee
+    exactly that). The residual degenerate case — byte-identical rows
+    of a hot key all inside ONE partition — stays on one salt, which is
+    where one map task already held them anyway. Pass ``spread_cols``
+    to pick distinguishing columns explicitly when hashing every column
+    is wasteful (wide rows)."""
     hot = F.array(*[F.lit(k) for k in hot_keys])
-    spread = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
+    cols = spread_cols if spread_cols is not None else df.columns
+    spread = F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols], F.spark_partition_id()),
+        F.lit(num_salts))
     return df.withColumn(
         salt_col,
         F.when(F.array_contains(hot, F.col(key_col)), spread).otherwise(F.lit(0)),

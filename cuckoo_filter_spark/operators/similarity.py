@@ -63,6 +63,39 @@ def _collect_queries(queries, query_id_col: str, query_vec_col: str):
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def _cosine_rank(joined: DataFrame, vec_col: str, id_col: str, k: int) -> DataFrame:
+    """Exact cosine scoring + per-query top-k over a candidate join
+    (shared by ivf_top_k and lsh_top_k). Norms are clamped at 1e-12 —
+    the same guard brute_force_top_k applies — because Spark 4 runs
+    ANSI mode by default and an all-zeros embedding (common padding /
+    missing-vector value) would otherwise kill the whole job with
+    DIVIDE_BY_ZERO; a zero vector scores 0.0 against everything
+    instead."""
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), "qvec", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.greatest(F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    ), F.lit(1e-12))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (dot / (norm(F.col(vec_col).cast("array<double>")) * norm(F.col("qvec"))))
+        .alias("score"),
+    ).where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def brute_force_top_k(
     df: DataFrame,
     vec_col: str,
@@ -85,6 +118,11 @@ def brute_force_top_k(
     """
     spark = df.sparkSession
     queries = _collect_queries(queries, query_id_col, query_vec_col)
+    if not queries:
+        # np.array([]) is 1-D and the axis=1 norm below would raise;
+        # zero queries legitimately means an empty result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int")
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     qmat = np.array([q[1] for q in queries], dtype=np.float64)
     if metric == "cosine":
@@ -324,29 +362,7 @@ def ivf_top_k(
         qdf = spark.createDataFrame(
             rows, "query_id long, cell int, qvec array<double>")
         joined = indexed.join(F.broadcast(qdf), "cell")
-    dot = F.aggregate(
-        F.zip_with(F.col(vec_col).cast("array<double>"), "qvec", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    scored = joined.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        (dot / (norm(F.col(vec_col).cast("array<double>")) * norm(F.col("qvec"))))
-        .alias("score"),
-    ).where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_rank(joined, vec_col, id_col, k)
 
 
 # ---------------------------------------------------------------------------
@@ -467,26 +483,4 @@ def lsh_top_k(
         qdf = spark.createDataFrame(
             rows, "query_id long, bucket long, qvec array<double>")
         joined = bucketed.join(F.broadcast(qdf), "bucket")
-    dot = F.aggregate(
-        F.zip_with(F.col(vec_col).cast("array<double>"), "qvec", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    scored = joined.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        (dot / (norm(F.col(vec_col).cast("array<double>")) * norm(F.col("qvec")))).alias("score"),
-    ).where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_rank(joined, vec_col, id_col, k)

@@ -78,19 +78,9 @@ def streaming_dedup_tws(
     config, not this function, selects it."""
     if on_overflow not in ("passthrough", "rotate", "error"):
         raise ValueError(f"unknown on_overflow {on_overflow!r}")
-    # transformWithState's python workers speak protobuf to the state
-    # server; without google.protobuf the query crashes at runtime with
-    # an opaque "driver worker exited unexpectedly" — fail loud here
-    # instead (this container ships no protobuf; use streaming.dedup's
-    # applyInPandasWithState path, same semantics, no protobuf needed)
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "transformWithStateInPandas requires the google.protobuf "
-            "package (its state-server protocol); it is unavailable in "
-            "this environment — use streaming.dedup.streaming_dedup "
-            "(applyInPandasWithState, identical semantics)") from e
+    from cuckoo_filter_spark.streaming.compat import require_protobuf
+
+    require_protobuf("streaming.dedup.streaming_dedup")
     params = CuckooParams.for_capacity(shard_capacity, 4, bits_per_item, 0)
     cols = [f.name for f in stream_df.schema.fields]
     shards = stream_df.withColumn(

@@ -73,6 +73,21 @@ def _windowed(stream_df: DataFrame, ts_col: str, window: str,
     )
 
 
+def _window_end_ms(window_start, window_ms: int, tz: str) -> int:
+    """Epoch ms of a window's END from its (session-tz-naive) start.
+
+    State for window W=[ws, we) may be evicted exactly when the
+    watermark reaches ``we``: Spark drops rows with ts < watermark
+    before the state function, and every row of W has ts < we, so no
+    row for W can arrive after that. The session timezone is captured
+    at PLAN time and shipped in the closure — the naive window key the
+    worker receives is rendered in that zone."""
+    ts = pd.Timestamp(window_start)
+    if ts.tzinfo is None:
+        ts = ts.tz_localize(tz)
+    return int(ts.timestamp() * 1000) + window_ms
+
+
 def windowed_distinct_count(
     stream_df: DataFrame,
     ts_col: str,
@@ -88,44 +103,55 @@ def windowed_distinct_count(
     api='apply' (default): applyInPandasWithState. api='tws':
     transformWithStateInPandas — identical semantics through the shared
     core; requires google.protobuf (the tws state-server protocol) and
-    the RocksDB state store provider in the stream config."""
+    the RocksDB state store provider in the stream config.
+
+    State is EVICTED once the watermark passes a window's end (event-
+    time timeout on the apply path, an event-time timer on the tws
+    path): a closed window can never receive rows again, and without
+    eviction a long-running stream accumulates one HLL blob per window
+    forever — unbounded state growth that slows every micro-batch
+    commit. Nothing is emitted at eviction; the running per-batch
+    estimates are the output contract."""
     if api not in ("apply", "tws"):
         raise ValueError(f"unknown api {api!r}")
+    window_ms = int(pd.Timedelta(window).total_seconds() * 1000)
+    tz = stream_df.sparkSession.conf.get("spark.sql.session.timeZone")
     windowed = _windowed(stream_df, ts_col, window, watermark)
     if api == "tws":
-        return _windowed_tws(windowed, key_col, p)
+        return _windowed_tws(windowed, key_col, p, window_ms, tz)
 
     def agg_fn(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed the window end: no row for this window
+            # can arrive anymore (they'd be dropped as late) — drop the
+            # blob, emit nothing
+            state.remove()
+            return
         blob, updates = state.get if state.exists else (None, 0)
         new_blob, updates, frame = run_windowed_hll_batches(
             pdfs, key_col, p, key[0],
             bytes(blob) if blob is not None else None, updates)
         state.update((bytearray(new_blob), updates))
+        # any delivered row has ts >= watermark and ts < window end, so
+        # the end is strictly in the future — a valid timeout timestamp
+        state.setTimeoutTimestamp(_window_end_ms(key[0], window_ms, tz))
         yield frame
 
     return windowed.groupBy("__ws").applyInPandasWithState(
-        agg_fn, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        agg_fn, OUT_SCHEMA, STATE_SCHEMA, "update",
+        GroupStateTimeout.EventTimeTimeout
     )
 
 
-def _windowed_tws(windowed: DataFrame, key_col: str, p: int) -> DataFrame:
-    # transformWithState's python workers speak protobuf to the state
-    # server; without google.protobuf the query crashes at runtime with
-    # an opaque "driver worker exited unexpectedly" — fail loud here
-    # instead (this container ships no protobuf; api='apply' is the
-    # same semantics without it)
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "transformWithStateInPandas requires the google.protobuf "
-            "package (its state-server protocol); it is unavailable in "
-            "this environment — use api='apply' (applyInPandasWithState, "
-            "identical semantics)") from e
+def _windowed_tws(windowed: DataFrame, key_col: str, p: int,
+                  window_ms: int, tz: str) -> DataFrame:
+    from cuckoo_filter_spark.streaming.compat import require_protobuf
+
+    require_protobuf("api='apply'")
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -133,9 +159,12 @@ def _windowed_tws(windowed: DataFrame, key_col: str, p: int) -> DataFrame:
 
     class WindowedHLLProcessor(StatefulProcessor):
         """One (HLL blob, updates) ValueState per window key; emits the
-        running estimate through the SAME core as the apply path."""
+        running estimate through the SAME core as the apply path. An
+        event-time timer at the window end evicts closed windows'
+        state (the tws twin of the apply path's EventTimeTimeout)."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
             self._st = handle.getValueState("hll", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
@@ -144,7 +173,15 @@ def _windowed_tws(windowed: DataFrame, key_col: str, p: int) -> DataFrame:
                 rows, key_col, p, key[0],
                 bytes(blob) if blob is not None else None, int(updates))
             self._st.update((bytearray(new_blob), updates))
+            # timers are keyed (group, timestamp): re-registering the
+            # same window-end each batch is idempotent
+            self._handle.registerTimer(_window_end_ms(key[0], window_ms, tz))
             yield frame
+
+        def handleExpiredTimer(self, key, timerValues,
+                               expiredTimerInfo) -> Iterator[pd.DataFrame]:
+            self._st.clear()
+            return iter(())
 
         def close(self) -> None:
             pass
@@ -153,5 +190,5 @@ def _windowed_tws(windowed: DataFrame, key_col: str, p: int) -> DataFrame:
         WindowedHLLProcessor(),
         outputStructType=OUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="EventTime",
     )

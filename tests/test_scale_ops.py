@@ -409,3 +409,86 @@ def test_streaming_dedup_tws(spark, tmp_path):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+
+
+def test_frame_sample_and_resize_guard_degenerate_metadata(spark):
+    """Corrupt media metadata must not produce phantom work or ANSI
+    crashes: a 0-frame video would emit frame_idx=0 via the descending
+    sequence(0,-1), and a 0-dimension image would throw DIVIDE_BY_ZERO
+    under Spark 4's default ANSI mode."""
+    from cuckoo_filter_spark.functions.multimodal import (
+        MEDIA_SCHEMA, frame_sample, resize_plan)
+
+    rows = [
+        (0, "video", bytearray(b"x"), 0, 0, 0, 0),    # zero frames
+        (1, "video", bytearray(b"x"), 0, 0, 0, 25),   # normal video
+        (2, "image", bytearray(b"x"), 0, 128, 0, 0),  # zero width
+        (3, "image", bytearray(b"x"), 64, 128, 0, 0), # normal image
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = frame_sample(df, every_n=10).collect()
+    assert {r["media_id"] for r in frames} == {1}
+    assert sorted(r["frame_idx"] for r in frames) == [0, 10, 20]
+    plan = resize_plan(df, target=224).collect()
+    assert [r["media_id"] for r in plan] == [3]
+    assert plan[0]["out_w"] == 224  # short side scaled to target
+
+
+def test_with_salt_is_retry_deterministic(spark):
+    """The salt MUST be retry-deterministic — a monotonically_
+    increasing_id/rand salt feeding a shuffle changes on stage retry
+    and double-counts or loses rows (the classic Spark nondeterministic-
+    shuffle-key hazard). Pin the formula: salt == pmod(xxhash64(all
+    columns, spark_partition_id()), S) for hot keys, 0 for cold; and
+    byte-identical hot rows spread across salts when they span
+    partitions (the case that defeats a pure content hash)."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.salting import with_salt
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold", 7)],
+        "host string, x int").repartition(8)
+    # salt and its expected formula evaluated in the SAME job so the
+    # partition lineage is shared
+    rows = with_salt(df, "host", ["hot"], num_salts=8).withColumn(
+        "e", F.pmod(F.xxhash64("host", "x", F.spark_partition_id()),
+                    F.lit(8))).collect()
+    for r in rows:
+        assert r["__salt"] == (r["e"] if r["host"] == "hot" else 0), r
+    assert len({r["__salt"] for r in rows if r["host"] == "hot"}) > 1
+    # byte-identical rows across partitions still spread
+    dup = spark.createDataFrame([("hot",)] * 2000, "host string").repartition(8)
+    salts = {r["__salt"] for r in with_salt(dup, "host", ["hot"], 8).collect()}
+    assert len(salts) > 1
+
+
+def test_checkpoint_rejects_different_input(spark, tmp_path):
+    """The manifest embeds an input fingerprint: resuming a partial
+    build against a DIFFERENT dataset must fail loud — mixed shards
+    would return silent false negatives."""
+    import pytest
+
+    from cuckoo_filter_spark.operators.checkpoint import build_checkpointed
+
+    pa, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.range(0, 1000).selectExpr("concat('k', id) key").write.parquet(pa)
+    spark.range(500, 1500).selectExpr("concat('k', id) key").write.parquet(pb)
+    ckpt = str(tmp_path / "ckpt")
+    build_checkpointed(spark.read.parquet(pa), "key", ckpt,
+                       capacity=1000, num_shards=4)
+    # same input (re-read from the same path): resume is fine
+    build_checkpointed(spark.read.parquet(pa), "key", ckpt,
+                       capacity=1000, num_shards=4)
+    # different input, identical params/capacity: loud
+    with pytest.raises(ValueError, match="different build"):
+        build_checkpointed(spark.read.parquet(pb), "key", ckpt,
+                           capacity=1000, num_shards=4)
+    # explicit fingerprint overrides the derived one (dataset version id)
+    ckpt2 = str(tmp_path / "ckpt2")
+    build_checkpointed(spark.read.parquet(pa), "key", ckpt2, capacity=1000,
+                       num_shards=4, input_fingerprint="crawl-v1")
+    with pytest.raises(ValueError, match="different build"):
+        build_checkpointed(spark.read.parquet(pa), "key", ckpt2,
+                           capacity=1000, num_shards=4,
+                           input_fingerprint="crawl-v2")

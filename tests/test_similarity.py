@@ -181,3 +181,43 @@ def test_lsh_dataframe_queries_matches_list(spark):
                        n_planes=10, multiprobe_hamming=1)
     assert ([tuple(r) for r in via_list.collect()]
             == [tuple(r) for r in via_df.collect()])
+
+
+def test_zero_norm_vectors_survive_ansi(spark):
+    """Spark 4 runs ANSI mode by default: an all-zeros embedding
+    (common padding / missing-vector value) in the corpus or as the
+    query must not kill ivf/lsh_top_k with DIVIDE_BY_ZERO — it scores
+    0.0 (clamped norm) and never outranks a real neighbor."""
+    import numpy as np
+
+    from cuckoo_filter_spark.operators.similarity import ivf_top_k, lsh_top_k
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(40)]
+    rows.append((99, [0.0] * 8))  # zero vector in the corpus
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+
+    out = ivf_top_k(df, "vec", "id", queries=[(0, rows[0][1])], k=5,
+                    n_cells=4, nprobe=4).collect()
+    assert len(out) == 5 and all(r["neighbor_id"] != 99 or r["score"] == 0.0
+                                 for r in out)
+    out = lsh_top_k(df, "vec", "id", queries=[(0, rows[0][1])], k=5,
+                    n_planes=4, multiprobe_hamming=4).collect()
+    assert len(out) > 0
+    # zero vector as the QUERY: every score is exactly 0.0
+    outq = ivf_top_k(df, "vec", "id", queries=[(7, [0.0] * 8)], k=3,
+                     n_cells=4, nprobe=4).collect()
+    assert outq and all(abs(r["score"]) < 1e-9 for r in outq)
+
+
+def test_brute_force_empty_queries(spark):
+    """Zero queries is a legitimate input (a query table that filters to
+    nothing) — expect an empty typed result, not a numpy axis error."""
+    from cuckoo_filter_spark.operators.similarity import brute_force_top_k
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], "id long, vec array<float>")
+    out = brute_force_top_k(df, "vec", "id", queries=[])
+    assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+    assert out.count() == 0

@@ -130,3 +130,48 @@ def test_windowed_distinct_count_tws(spark, tmp_path):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+
+
+def test_windowed_state_evicted_after_watermark(spark, tmp_path):
+    """State for a window whose end the watermark has passed must be
+    REMOVED (EventTimeTimeout): a long-running stream would otherwise
+    hold one HLL blob per window forever. Restart the stream with ever-
+    later data and watch the state-store row count — the hour-0 window's
+    row must be gone once the watermark clears its end."""
+    import pandas as pd
+
+    from cuckoo_filter_spark.streaming.windowed import windowed_distinct_count
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+
+    def write_batch(name, hour, n=50):
+        rows = [(pd.Timestamp("2025-01-01") + pd.Timedelta(hours=hour, seconds=i),
+                 f"u{hour}_{i}") for i in range(n)]
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "uid"])).write.parquet(
+            f"{src}/{name}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp, uid string").parquet(
+            src + "/*.parquet")
+        agg = windowed_distinct_count(stream, "ts", "uid", window="1 hour",
+                                      watermark="2 hours", p=12)
+        # foreachBatch: the memory sink cannot recover from a
+        # checkpoint, and this test restarts the query three times
+        q = (agg.writeStream.foreachBatch(lambda df, _id: df.count())
+             .outputMode("update").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        states = [p["stateOperators"][0]["numRowsTotal"]
+                  for p in q.recentProgress if p["stateOperators"]]
+        return states[-1] if states else None
+
+    write_batch("b0", hour=0)
+    assert run_once() == 1  # hour-0 window held
+    # hour-10 data → watermark 8:00 > hour-0 end (1:00) → hour-0 evicted
+    write_batch("b1", hour=10)
+    write_batch("b2", hour=11)  # extra batch so the timeout fires pre-stop
+    n = run_once()
+    assert n is not None and n <= 2, f"hour-0 state not evicted: {n} rows"
