@@ -1016,6 +1016,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM batch a JOIN batch b ON a.text = b.text AND a.doc_id < b.doc_id
+            -- zero-shingle exclusion mirrors minhash_near_dup_pairs:
+            -- sub-k texts carry no shingle evidence and are not paired
+            -- (ASCII corpus: length == octet_length; no such docs in
+            -- the current testdata — guards future data refreshes)
+            WHERE length(a.text) >= 5
             ORDER BY id_a, id_b
         """,
         "ngram_jaccard_dedup": """
@@ -1053,6 +1058,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM batch a JOIN batch b ON a.text = b.text AND a.doc_id < b.doc_id
+            -- zero-shingle exclusion mirrors simhash_near_dup_pairs
+            WHERE length(a.text) >= 5
             ORDER BY id_a, id_b
         """,
         "content_hash_dedup": """
@@ -1076,7 +1083,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM batch b
-            WHERE b.doc_id = (SELECT MIN(s.doc_id) FROM batch s
+            -- sub-k texts are singletons (never paired by the LSH
+            -- generator, zero-shingle exclusion), so they are always
+            -- their own representative
+            WHERE length(b.text) < 5
+               OR b.doc_id = (SELECT MIN(s.doc_id) FROM batch s
                               WHERE s.text = b.text)
         """,
         "embedding_dedup": """

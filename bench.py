@@ -240,21 +240,35 @@ def _load_ref() -> dict:
     return ref
 
 
-def _gate_history_update(capped: dict) -> list[str]:
+def _gate_history_update(capped: dict, gated: list[str]) -> list[str]:
     """Record this run's cap-outs (section -> best/ref ratio) in the
     persistent history and return the sections that ALSO capped out on
-    the previous recorded run — ADVICE r4: a genuine >=GATE_FACTOR
-    regression is otherwise indistinguishable from neighbor noise (both
-    read as 'contended' and burn GATE_CAP reps). One noise burst rarely
-    spans two full bench runs, so back-to-back cap-outs of the same
-    section flag as ``suspect_regressions`` in the artifact."""
+    the most recent run where they were GATED — ADVICE r4: a genuine
+    >=GATE_FACTOR regression is otherwise indistinguishable from
+    neighbor noise (both read as 'contended' and burn GATE_CAP reps).
+    One noise burst rarely spans two full bench runs, so back-to-back
+    cap-outs of the same section flag as ``suspect_regressions``.
+
+    Per-section lookback, not last-entry: a smoke run (off rows/cpus)
+    gates only the geometry-independent kernel section, so it records
+    gated=['kernel'] — an interleaved smoke run therefore cannot wipe
+    the Spark sections' back-to-back signal (it simply isn't a
+    comparable observation for them). Pre-existing entries without a
+    'gated' field count as gated only for the sections they capped."""
     try:
         with open(_CAPOUT_HISTORY) as f:
             hist = json.load(f)
     except Exception:
         hist = []
-    prev = set(hist[-1]["capped"]) if hist else set()
-    hist.append({"ts": time.time(), "capped": capped})
+    suspects = []
+    for sec in capped:
+        for entry in reversed(hist):
+            if sec in entry.get("gated", list(entry.get("capped", {}))):
+                if sec in entry["capped"]:
+                    suspects.append(sec)
+                break
+    hist.append({"ts": time.time(), "capped": capped,
+                 "gated": sorted(gated)})
     hist = hist[-50:]
     try:
         os.makedirs(_SNAP_DIR, exist_ok=True)
@@ -262,26 +276,31 @@ def _gate_history_update(capped: dict) -> list[str]:
             json.dump(hist, f)
     except Exception:
         pass
-    return sorted(set(capped) & prev)
+    return sorted(suspects)
 
 
 def gated_best_of(fn, key: str, section: str, ref_rate_fn,
-                  contended: list[str]) -> dict:
-    """Run fn until best-of-runs[key] ≥ ref/GATE_FACTOR or GATE_CAP.
+                  contended: list[str], combine=None) -> dict:
+    """Run fn until combine(runs)[key] ≥ ref/GATE_FACTOR or GATE_CAP.
     ref_rate_fn(first_run) returns the reference rate, or None when the
     snapshot isn't comparable (different row counts / missing section) —
-    then a plain best-of-2 is used."""
+    then a plain best-of-2 is used. ``combine`` reduces the run list to
+    the reported dict (default: whole-run max on ``key``; the kernel
+    section passes _merge_best for element-wise bests). ONE definition
+    of the contention-gate policy — the contract test pins it here."""
+    if combine is None:
+        combine = lambda runs: dict(max(runs, key=lambda r: r[key]))
     runs = [fn()]
     ref = ref_rate_fn(runs[0])
     while True:
-        best = max(runs, key=lambda r: r[key])
+        best = combine(runs)
         if ref is None:
             if len(runs) >= min(2, GATE_CAP):
                 break
         elif best[key] >= ref / GATE_FACTOR or len(runs) >= GATE_CAP:
             break
         runs.append(fn())
-    best = dict(max(runs, key=lambda r: r[key]))
+    best = combine(runs)
     best["reps_run"] = len(runs)
     if ref is not None:
         best["ref_rate"] = ref
@@ -301,28 +320,14 @@ def run_kernel_microbench(contended: list[str]) -> dict:
     This section is the artifact's contention-sanity row — BENCH_r02
     recorded hash rates 3.2× below reality during a neighbor-noise
     burst, which made the whole file self-contradictory. Element-wise
-    best across repeats, gated on the hash rate vs the stored
-    snapshot."""
-    ref = (_load_ref().get("kernel") or {}).get("hash_32B_keys_per_sec")
-    runs = [_run_kernel_microbench_once()]
-    while True:
-        best = _merge_best(runs)
-        if ref is None:
-            if len(runs) >= min(2, GATE_CAP):
-                break
-        elif (best["hash_32B_keys_per_sec"] >= ref / GATE_FACTOR
-              or len(runs) >= GATE_CAP):
-            break
-        runs.append(_run_kernel_microbench_once())
-    best = _merge_best(runs)
-    best["reps_run"] = len(runs)
-    if ref is not None:
-        best["ref_rate"] = ref
-        best["gate_ratio"] = round(best["hash_32B_keys_per_sec"] / ref, 3)
-        if best["hash_32B_keys_per_sec"] < ref / GATE_FACTOR:
-            best["contended"] = True
-            contended.append("kernel")
-    return best
+    best across repeats (_merge_best), gated on the hash rate vs the
+    stored snapshot through the same gated_best_of policy as the Spark
+    sections."""
+    return gated_best_of(
+        _run_kernel_microbench_once, "hash_32B_keys_per_sec", "kernel",
+        lambda _first: (_load_ref().get("kernel") or {}).get(
+            "hash_32B_keys_per_sec"),
+        contended, combine=_merge_best)
 
 
 def _run_kernel_microbench_once() -> dict:
@@ -600,14 +605,14 @@ def main() -> None:
 
     sections = {"build": build, "high_load": high_load, "probe": probe,
                 "kernel": kernel}
-    # only GATED runs enter the cap-out history: a smoke run (off
-    # rows/cpus, every ref None) would otherwise append capped={} and
-    # wipe the back-to-back signal a real regression needs to trip
-    if any("ref_rate" in s for s in sections.values()):
-        suspects = _gate_history_update(
-            {s: sections[s].get("gate_ratio") for s in contended})
-    else:
-        suspects = []
+    # history records which sections this run could actually gate: the
+    # suspect lookback compares a cap-out only against the most recent
+    # run where that section was gated (a smoke run gates only the
+    # geometry-independent kernel and must not wipe the Spark sections'
+    # back-to-back signal)
+    gated = [s for s, d in sections.items() if "ref_rate" in d]
+    suspects = _gate_history_update(
+        {s: sections[s].get("gate_ratio") for s in contended}, gated)
     full = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -496,8 +496,12 @@ def _sharded_from_hash_partials(parts, est_keys: int, num_shards: int,
         mrows = shards_df.collect()
         blobs = {int(r["shard"]): bytes(r["blob"]) for r in mrows}
     metrics = [
-        {k: r[k] for k in ("shard", "rows", "stored", "kicks", "victim_used",
-                           "load_factor", "wall_ms")}
+        # SAME key set as the declared-capacity route (sharded.py) so
+        # consumers see one metrics shape on both routes; per-shard
+        # distinct_keys is None here (hash partials lost the raw keys —
+        # the exact TOTAL travels via distinct_keys on the build object)
+        {k: r[k] for k in ("shard", "rows", "stored", "distinct_keys",
+                           "kicks", "victim_used", "load_factor", "wall_ms")}
         for r in mrows
     ]
     return sh.ShardedCuckooBuild(

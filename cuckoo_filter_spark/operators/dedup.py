@@ -198,6 +198,14 @@ def minhash_near_dup_pairs(
     ~2^-40 tail event at 64 perms) → exact-Jaccard verification."""
     if bands is None:
         bands, _ = choose_bands(n_perms, threshold)
+    # zero-shingle exclusion: texts shorter than k bytes (incl. null /
+    # empty) have NO shingle support — their degenerate all-equal
+    # signatures would collide in EVERY band, pairing all short docs
+    # with each other (O(m²) candidates at corpus scale; ~2% of web
+    # text is empty) and reporting jaccard 1.0 for texts that share
+    # nothing. Shingle similarity is undefined below k; byte-identical
+    # short docs belong to exact dedup (dedup_by_content_hash).
+    df = df.where(F.octet_length(F.col(text_col)) >= k)
     sigs = add_minhash_signatures(df, text_col, id_col, n_perms, k)
     # eager localCheckpoint: one signature pass feeds every join branch
     # (no recompute race), one job instead of cache()+count(), and the
@@ -294,6 +302,10 @@ def simhash_near_dup_pairs(
     block value, verify hamming on candidates (JVM-side bit ops)."""
     nblocks = max_hamming + 1
     block_bits = 64 // nblocks
+    # zero-shingle exclusion, same policy as minhash_near_dup_pairs:
+    # sub-k texts all simhash to 0 (hamming 0 to each other) and would
+    # pair quadratically via every pigeonhole block
+    df = df.where(F.octet_length(F.col(text_col)) >= k)
     sh = add_simhash(df.select(id_col, text_col), text_col, "simhash", k)
     # eager localCheckpoint (not cache): self-join reads materialized
     # blocks, no UDF recompute, GC-managed lifetime
@@ -681,8 +693,14 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(
+    # norm clamp 1e-12 (same guard as similarity._cosine_rank): zero
+    # vectors project to bucket 0 in EVERY table, so all-zeros
+    # embeddings always become candidate pairs, and 0.0/0.0 under Spark
+    # 4's default ANSI mode would kill the whole job with
+    # DIVIDE_BY_ZERO; clamped, a zero vector scores 0.0 and never
+    # clears the threshold
+    norm = lambda c: F.greatest(F.sqrt(
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a2, x: a2 + x)
-    )
+    ), F.lit(1e-12))
     cos = (dot / (norm(F.col("vec_a")) * norm(F.col("vec_b")))).alias("cosine")
     return joined.select("id_a", "id_b", cos).where(F.col("cosine") >= threshold)

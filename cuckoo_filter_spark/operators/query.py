@@ -107,16 +107,9 @@ def register_might_contain(spark, name: str, build: "CuckooBuild | bytes") -> No
     if isinstance(build, ShardedCuckooBuild):
         spark.udf.register(name, sharded_might_contain_udf(spark, build))
         return
-    blob = build.blob if isinstance(build, CuckooBuild) else build
-    bcast = spark.sparkContext.broadcast(blob)
-    bid = bcast._jbroadcast.id()
-
-    @pandas_udf("boolean")
-    def might_contain(keys: pd.Series) -> pd.Series:
-        kern = _cached_kernel(bid, bcast)
-        return pd.Series(kern.contain(keys))
-
-    spark.udf.register(name, might_contain)
+    # the metro64 branch of might_contain_udf IS the registerable pandas
+    # UDF (one definition of the probe + executor cache logic)
+    spark.udf.register(name, might_contain_udf(spark, build))
 
 
 def cuckoo_semi_join(
@@ -153,11 +146,25 @@ def cuckoo_anti_join(
     build_df: DataFrame,
     build_key: str,
     build: "CuckooBuild | ShardedCuckooBuild | None" = None,
+    materialize_probe: bool = False,
     **build_kwargs,
 ) -> DataFrame:
     """Exact probe ▷ build_df (anti join) with safe cuckoo acceleration:
     definite non-members bypass the join; only maybe-members (filter
-    hits) are verified with an exact left_anti."""
+    hits) are verified with an exact left_anti.
+
+    Execution shape: the bypass and the verify branch are two consumers
+    of the flagged probe frame, so the probe plan (scan + probe UDF)
+    executes TWICE — the deliberate trade at scale, where re-reading
+    pruned columnar parquet is far cheaper than materializing 10^12
+    flagged rows just to split them. Two consequences: (1) the probe
+    plan must be DETERMINISTIC under re-execution (true for any
+    source/filter pipeline; not for unseeded sample()/rand() inputs —
+    the standard Spark union-of-filters contract), or rows can land in
+    both branches or neither; (2) when the probe side is itself an
+    expensive non-reusable computation, pass ``materialize_probe=True``
+    to localCheckpoint the flagged frame once instead (bounded inputs
+    only — it writes the whole frame to executor disk)."""
     from cuckoo_filter_spark.operators.build import build_cuckoo_filter
 
     spark = probe.sparkSession
@@ -165,6 +172,8 @@ def cuckoo_anti_join(
         build = build_cuckoo_filter(build_df, build_key, **build_kwargs)
     mc = might_contain_udf(spark, build)
     flagged = probe.withColumn("__maybe_member", mc(F.col(probe_key)))
+    if materialize_probe:
+        flagged = flagged.localCheckpoint()
     definite_out = flagged.where(~F.col("__maybe_member")).drop("__maybe_member")
     maybe = flagged.where(F.col("__maybe_member")).drop("__maybe_member")
     rhs = build_df.select(build_key).dropDuplicates([build_key])

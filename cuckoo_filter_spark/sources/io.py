@@ -33,6 +33,13 @@ class TableIO:
         self.use_iceberg = iceberg_available(spark) and base_path is None
 
     def _path(self, name: str) -> str:
+        if self.base_path is None:
+            # without this, f-string interpolation would silently
+            # read/write a literal './None/<name>.parquet' directory
+            raise ValueError(
+                "TableIO has no backend: Iceberg is not on the "
+                "classpath and no base_path was given — pass "
+                "base_path=<dir> for the parquet fallback")
         return f"{self.base_path}/{name}.parquet"
 
     def read(self, name: str) -> DataFrame:
@@ -42,13 +49,21 @@ class TableIO:
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> None:
+        """mode: 'overwrite' (create or replace) or 'append' — honored
+        IDENTICALLY on both backends (the Iceberg path previously
+        createOrReplace()d unconditionally, so append lost data)."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unsupported mode {mode!r}")
         if self.use_iceberg:
             w = df.writeTo(f"{self.catalog}.{name}")
             if partition_by:
                 from pyspark.sql import functions as F
 
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
-            w.createOrReplace()
+            if mode == "append":
+                w.append()
+            else:
+                w.createOrReplace()
             return
         w = df.write.mode(mode)
         if partition_by:

@@ -70,6 +70,31 @@ def zipf_cdf(n_hosts: int, s: float = 1.2) -> np.ndarray:
     return np.cumsum(w / w.sum())
 
 
+_B36_DIGITS = np.array(list("0123456789abcdefghijklmnopqrstuvwxyz"), dtype="U1")
+
+
+def _b36_vec(arr: np.ndarray) -> np.ndarray:
+    """Vectorized base36 of non-negative ints (== np.base_repr(n, 36)
+    lowercased) — the pages and urls-only generators MUST emit the SAME
+    url for the same (rowid, seed) or cross-fixture probes silently
+    mismatch, and the urls-only path cannot afford a per-row Python
+    base_repr loop at scaling-bench row counts."""
+    a = np.asarray(arr).astype(np.uint64)
+    if a.size == 0:
+        return np.empty(0, dtype="U13")
+    m = int(a.max())
+    nd = 1
+    while 36 ** nd <= m:
+        nd += 1
+    out = np.full(a.shape, "", dtype=f"U{nd}")
+    x = a.copy()
+    for _ in range(nd):  # least-significant first
+        out = np.char.add(_B36_DIGITS[(x % np.uint64(36)).astype(np.int64)], out)
+        x //= np.uint64(36)
+    out = np.char.lstrip(out, "0")
+    return np.where(out == "", "0", out)
+
+
 def _gen_batch(rowids: np.ndarray, n_hosts: int, dup_rate: float, seed: int) -> pd.DataFrame:
     rid = rowids.astype(np.uint64) ^ _U64(seed & 0xFFFFFFFFFFFFFFFF)
 
@@ -82,7 +107,7 @@ def _gen_batch(rowids: np.ndarray, n_hosts: int, dup_rate: float, seed: int) -> 
     cdf = zipf_cdf(n_hosts)
     host_rank = np.searchsorted(cdf, _uniform(url_rid, 3), side="right")
     tld = TLDS[(splitmix64(url_rid ^ _U64(5)) % _U64(3)).astype(np.int64)]
-    base36 = [np.base_repr(int(r), 36).lower() for r in url_row]
+    base36 = _b36_vec(url_row)
     urls = [
         f"https://host{int(h)}.example.{t}/p/{b}"
         for h, t, b in zip(host_rank, tld, base36)
@@ -173,7 +198,10 @@ def _gen_urls(rowids: np.ndarray, n_hosts: int, dup_rate: float, seed: int) -> p
             ),
             tld.astype("U3"),
         ),
-        np.char.add("/p/", url_row.astype("U16")),
+        # base36, SAME as _gen_batch: the two generators must spell the
+        # same url for the same (rowid, seed) — this path used decimal
+        # until r5, silently diverging from the pages table
+        np.char.add("/p/", _b36_vec(url_row)),
     )
     return pd.DataFrame({"url": urls})
 

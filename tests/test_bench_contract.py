@@ -84,13 +84,32 @@ def test_load_ref_takes_elementwise_max_across_snapshots():
 
 
 def test_gate_history_flags_back_to_back_capouts(tmp_path, monkeypatch):
+    ALL = ["build", "high_load", "kernel", "probe"]
     monkeypatch.setattr(bench, "_CAPOUT_HISTORY", str(tmp_path / "hist.json"))
-    assert bench._gate_history_update({"probe": 0.4}) == []
-    assert bench._gate_history_update({"probe": 0.5, "build": 0.6}) == ["probe"]
-    assert bench._gate_history_update({"build": 0.6}) == ["build"]
-    assert bench._gate_history_update({}) == []
+    assert bench._gate_history_update({"probe": 0.4}, ALL) == []
+    assert bench._gate_history_update({"probe": 0.5, "build": 0.6},
+                                      ALL) == ["probe"]
+    assert bench._gate_history_update({"build": 0.6}, ALL) == ["build"]
+    assert bench._gate_history_update({}, ALL) == []
     hist = json.loads((tmp_path / "hist.json").read_text())
     assert len(hist) == 4 and hist[1]["capped"] == {"probe": 0.5, "build": 0.6}
+
+
+def test_gate_history_smoke_run_does_not_wipe_signal(tmp_path, monkeypatch):
+    """A smoke run gates only the kernel section (Spark refs are None at
+    off geometry): it must not reset the Spark sections' back-to-back
+    cap-out lookback — the suspect compare is against the most recent
+    run where THAT section was gated."""
+    ALL = ["build", "high_load", "kernel", "probe"]
+    monkeypatch.setattr(bench, "_CAPOUT_HISTORY", str(tmp_path / "hist.json"))
+    assert bench._gate_history_update({"probe": 0.4}, ALL) == []  # full run A
+    # smoke run B: only kernel gated, nothing capped
+    assert bench._gate_history_update({}, ["kernel"]) == []
+    # full run C: probe caps again — A is the comparable run, so FLAG
+    assert bench._gate_history_update({"probe": 0.5}, ALL) == ["probe"]
+    # kernel capping on a smoke run D then a full run E: back-to-back
+    assert bench._gate_history_update({"kernel": 0.6}, ["kernel"]) == []
+    assert bench._gate_history_update({"kernel": 0.5}, ALL) == ["kernel"]
 
 
 def test_load_ref_ignores_intervening_offgeometry_snapshot(tmp_path, monkeypatch):

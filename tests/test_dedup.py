@@ -336,3 +336,25 @@ def test_embedding_dedup_null_first_row_not_empty(spark):
                                   "id bigint, vec array<double>")
     assert embedding_near_dup_pairs(empty, "vec", "id", threshold=0.99,
                                     n_planes=4, n_tables=4).count() == 0
+
+
+def test_zero_shingle_docs_excluded_from_near_dup(spark):
+    """Texts shorter than k bytes have no shingle support: they must not
+    pair with each other (previously ALL short docs shared every band /
+    every simhash block — jaccard 1.0 for texts sharing nothing, and
+    O(m^2) candidate pairs at corpus scale). Byte-identical short docs
+    are exact-dedup's job, not LSH's."""
+    from cuckoo_filter_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 5
+    rows = ([(0, "abc"), (1, "xyz"), (2, ""), (3, None)]
+            + [(10 + i, "") for i in range(20)]          # empty flood
+            + [(100, long_a), (101, long_a)])            # real dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = minhash_near_dup_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(100, 101)}
+    sh = simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sh} == {(100, 101)}

@@ -17,3 +17,27 @@ def test_tableio_parquet_roundtrip(spark, tmp_path):
 
 def test_iceberg_probe_does_not_crash(spark):
     assert iceberg_available(spark) in (True, False)
+
+
+def test_tableio_without_backend_fails_loud(spark, tmp_path):
+    """No Iceberg on the classpath + no base_path must raise, not
+    read/write a literal './None/<name>.parquet' directory; and the
+    parquet fallback honors append."""
+    import pytest
+
+    from cuckoo_filter_spark.sources.io import TableIO, iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg present — the no-backend path can't occur")
+    io = TableIO(spark)
+    df = spark.range(3).selectExpr("id")
+    with pytest.raises(ValueError, match="no backend"):
+        io.write(df, "pages")
+    with pytest.raises(ValueError, match="no backend"):
+        io.read("pages")
+    ok = TableIO(spark, base_path=str(tmp_path))
+    with pytest.raises(ValueError, match="unsupported mode"):
+        ok.write(df, "pages", mode="error_if_exists")
+    ok.write(df, "pages")
+    ok.write(df, "pages", mode="append")
+    assert ok.read("pages").count() == 6

@@ -62,3 +62,23 @@ def test_synth_pages_spark_matches_local(spark):
     assert list(got["url"]) == list(want["url"])
     assert list(got["text"]) == list(want["text"])
     assert [bytes(x) for x in got["html"]] == [bytes(x) for x in want["html"]]
+
+
+def test_urls_only_generator_matches_pages_urls():
+    """_gen_urls (vectorized scaling path) and _gen_batch (pages table)
+    must spell the SAME url for the same (rowid, seed) — the urls-only
+    path used decimal row ids until r5 while pages used base36, so a
+    filter built from one fixture silently missed the other's urls."""
+    import numpy as np
+
+    from cuckoo_filter_spark.sources.pages import _b36_vec, _gen_batch, _gen_urls
+
+    rowids = np.arange(0, 5000, dtype=np.int64)
+    a = _gen_urls(rowids, n_hosts=100, dup_rate=0.1, seed=42)["url"]
+    b = _gen_batch(rowids, n_hosts=100, dup_rate=0.1, seed=42)["url"]
+    assert list(a) == list(b)
+    # base36 encoder parity with numpy's reference implementation
+    vals = np.array([0, 1, 35, 36, 12345, 10**12, 2**40 + 7], dtype=np.int64)
+    got = _b36_vec(vals)
+    want = [np.base_repr(int(v), 36).lower() for v in vals]
+    assert list(got) == want
