@@ -19,13 +19,18 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def _ensure_package(spark: SparkSession) -> None:
     """Ship cuckoo_filter_spark to executors (the spark-submit
-    --py-files equivalent), so the contract works from any cwd."""
-    key = id(spark.sparkContext)
+    --py-files equivalent), so the contract works from any cwd.
+
+    Keyed by applicationId, NOT id(sparkContext): a stopped context's
+    id() can be reused by the allocator for the next context, which
+    would silently skip the ship and fail every pandas UDF with
+    ModuleNotFoundError."""
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     import shutil

@@ -257,12 +257,69 @@ def xxh64_long_batch(h: np.ndarray, seed: int = SPARK_XXHASH64_SEED) -> np.ndarr
     return out
 
 
+# Cap on the dense [n, maxlen] pad buffer _metro64_flat_masked
+# allocates: one long outlier row in a large Arrow batch would
+# otherwise inflate it to n·maxlen bytes (10k docs + one 1 MB doc =
+# ~10 GB of zeros) regardless of actual data size. 1 GiB keeps every
+# url-scale workload (8M × ~72 B ≈ 0.6 GB) on the single-pass fast
+# path; only outlier-heavy batches pay the sort+chunk detour.
+_PAD_BUDGET = 1 << 30
+
+
+def _gather_rows(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                 idx: np.ndarray) -> np.ndarray:
+    """Concatenate the byte ranges of the selected rows (vectorized)."""
+    L = lens[idx]
+    total = int(L.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8)
+    rep_starts = np.repeat(starts[idx], L)
+    csum = np.cumsum(L)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(csum - L, L)
+    return flat[rep_starts + offs]
+
+
 def metro64_flat(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
     """Masked variable-length kernel. (A length-grouped variant with
     per-group fixed-length slicing was benchmarked and lost: the per-
     group row gather costs more than the masked tail phases when length
-    classes are few, which is the url-workload case.)"""
-    return _metro64_flat_masked(flat, lens, seed)
+    classes are few, which is the url-workload case.)
+
+    When the dense pad buffer would exceed _PAD_BUDGET (long-document
+    outliers), rows are sorted by length and hashed in chunks whose
+    individual pad area stays under the budget — bit-identical output
+    (the hash is per-row), bounded memory."""
+    n = len(lens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    maxlen = int(lens.max())
+    width = maxlen + 8
+    width += (-width) % 8
+    if n * width <= _PAD_BUDGET:
+        return _metro64_flat_masked(flat, lens, seed)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    order = np.argsort(lens, kind="stable")
+    slens = lens[order]
+    out = np.empty(n, dtype=np.uint64)
+    i = 0
+    while i < n:
+        # largest j with (j-i)·(pad width of longest row in chunk) ≤
+        # budget; lens sorted, so the area is monotone in j → bsearch.
+        # A single row over budget by itself runs alone (its pad buffer
+        # is ~the row's own size; no smaller unit exists).
+        lo, hi = i + 1, n
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if (mid - i) * (int(slens[mid - 1]) + 16) <= _PAD_BUDGET:
+                lo = mid
+            else:
+                hi = mid - 1
+        idx = order[i:lo]
+        out[idx] = _metro64_flat_masked(
+            _gather_rows(flat, starts, lens, idx), lens[idx], seed)
+        i = lo
+    return out
 
 
 def _metro64_flat_masked(flat: np.ndarray, lens: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:

@@ -69,7 +69,14 @@ def split_hash(h: np.ndarray, num_buckets: int, bits_per_item: int):
     """uint64 hashes → (index int64[:], tag uint32[:]).
 
     index = upper 32 bits & (nb−1); tag = lower 32 % (2^f − 1) + 1
-    (cuckoofilter.go:89-103)."""
+    (cuckoofilter.go:89-103). POW2 LAYOUTS ONLY — a vacuum table's
+    num_buckets is not a power of two and indexes by modulo; masking
+    with nb−1 would return in-range but WRONG buckets with no error.
+    Layout-generic callers use CuckooParams.split, which dispatches."""
+    if num_buckets <= 0 or num_buckets & (num_buckets - 1):
+        raise ValueError(
+            f"split_hash is pow2-only (num_buckets={num_buckets}); use "
+            f"CuckooParams.split for vacuum layouts")
     hi = (h >> np.uint64(32)).astype(np.uint32)
     lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
     idx = (hi & np.uint32(num_buckets - 1)).astype(np.int64)
@@ -79,7 +86,12 @@ def split_hash(h: np.ndarray, num_buckets: int, bits_per_item: int):
 
 
 def alt_index(idx: np.ndarray, tag: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Involution: altIndex(altIndex(i,t),t) == i (cuckoofilter.go:105-108)."""
+    """Involution: altIndex(altIndex(i,t),t) == i (cuckoofilter.go:105-108).
+    POW2 ONLY — see split_hash; vacuum layouts use CuckooParams.alt."""
+    if num_buckets <= 0 or num_buckets & (num_buckets - 1):
+        raise ValueError(
+            f"alt_index is pow2-only (num_buckets={num_buckets}); use "
+            f"CuckooParams.alt for vacuum layouts")
     v = idx.astype(np.uint32) ^ (tag.astype(np.uint32) * _MURMUR_C)
     return (v & np.uint32(num_buckets - 1)).astype(np.int64)
 

@@ -610,7 +610,11 @@ def build_cuckoo_filter(
 
         if partial_format != "sparse":
             raise ValueError("hash_fn='xxhash64' requires partial_format='sparse'")
-        df = df.select(F.xxhash64(key_col).alias(key_col))
+        # drop nulls BEFORE hashing: F.xxhash64(NULL) = seed 42 (a
+        # non-null bigint) would store a phantom fingerprint — the
+        # metro64 route's notna() null exclusion must hold here too
+        df = df.where(F.col(key_col).isNotNull()).select(
+            F.xxhash64(key_col).alias(key_col))
         inner_hash = "__prehashed__"
     sel = df.select(key_col)
     # No capacity hint + sparse partials → defer table sizing to combine

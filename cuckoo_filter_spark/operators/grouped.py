@@ -58,23 +58,37 @@ def _partial_emitter(group_col: str, key_col: str, with_hashes: bool,
         # dropna=False — null GROUPS are legal (SQL groups by NULL),
         # null KEYS are filtered per batch below
         acc = DistinctAccum(dropna=False)
+        # count-only path: groups whose keys are ALL null must still
+        # appear (SQL: COUNT(DISTINCT k) = 0 for them) — track every
+        # group seen, not just those contributing non-null keys. The
+        # filter-build path intentionally skips them (no keys -> no
+        # filter; probes of that group return False).
+        gacc = DistinctAccum(dropna=False) if not with_hashes else None
         for pdf in batches:
             u = pdf[[group_col, key_col]]
             acc.add(u[u[key_col].notna()])
+            if gacc is not None:
+                gacc.add(u[[group_col]].drop_duplicates())
         alldf = acc.consolidated()
-        if len(alldf) == 0:
-            out = {group_col: [], "n": []}
-            if with_hashes:
-                out["blob"] = []
-            yield pd.DataFrame(out)
-            return
         groups, ns, blobs = [], [], []
+        if len(alldf) == 0:
+            # empty consolidation has no columns — normalize so the
+            # group-by below (and dtype probing) still work
+            alldf = pd.DataFrame({group_col: [], key_col: []})
         for g, sub in alldf.groupby(group_col, dropna=False, sort=False):
             groups.append(g)
             ns.append(len(sub))
             if with_hashes:
                 keys = sub[key_col].reset_index(drop=True)
                 blobs.append(hashes_of(keys, hash_fn).astype("<u8").tobytes())
+        if gacc is not None:
+            gdf = gacc.consolidated()
+            seen = (gdf[group_col] if len(gdf)
+                    else pd.Series([], dtype=object))
+            have = pd.Series(groups, dtype=seen.dtype if len(seen) else None)
+            for g in seen[~seen.isin(have)]:
+                groups.append(g)
+                ns.append(0)
         out = {group_col: groups, "n": ns}
         if with_hashes:
             out["blob"] = blobs
@@ -135,7 +149,12 @@ def build_grouped_filters(
     inner_hash = hash_fn
     sel = df.select(group_col, key_col)
     if hash_fn == "xxhash64":
-        sel = sel.select(group_col, F.xxhash64(key_col).alias(key_col))
+        # drop null keys BEFORE hashing: F.xxhash64(NULL) = seed 42 (a
+        # non-null bigint) would slip past the emitter's notna() filter,
+        # inflating n_distinct ("the exact raw-key distinct count") and
+        # storing a phantom fingerprint
+        sel = sel.where(F.col(key_col).isNotNull()).select(
+            group_col, F.xxhash64(key_col).alias(key_col))
         inner_hash = "__prehashed__"
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     sel = sel.repartition(n, F.col(group_col), F.col(key_col))
@@ -363,18 +382,30 @@ def grouped_anti_join(
     if via not in ("broadcast", "cogroup", "auto"):
         raise ValueError(f"unknown via {via!r}")
     if build_kwargs.get("hash_fn", "metro64") != "metro64":
-        raise ValueError(
-            "grouped_anti_join probes with metro64; an xxhash64 grouped "
-            "build would silently miss every member (blobs do not record "
-            "hash_fn)")
-    if filters is None:
-        filters = build_grouped_filters(seen, group_col, key_col, **build_kwargs)
+        # the cogroup probe handles xxhash64 (JVM-side pre-hash, checked
+        # against the filters frame's recorded hash_fn); the BROADCAST
+        # probe is metro64-only, so xxhash64 routes to cogroup and an
+        # explicit via='broadcast' fails loud
+        if via == "broadcast":
+            raise ValueError(
+                "grouped_anti_join via='broadcast' probes with metro64; "
+                "use via='cogroup' (or 'auto') for an xxhash64 grouped "
+                "build")
+        via = "cogroup"
+    built_here = filters is None
+    if built_here:
+        # materialize the internally-built filters ONCE (one tiny row
+        # per group): every route has multiple consumers of this frame —
+        # auto's routing count, the cogroup probe's hash_fn check + the
+        # two union branches below — and each would otherwise re-execute
+        # the full two-phase grouped build.
+        filters = build_grouped_filters(
+            seen, group_col, key_col, **build_kwargs).localCheckpoint()
     if via == "auto":
-        # materialize the filters ONCE: the routing count below and the
-        # chosen probe would otherwise each recompute the full two-phase
-        # grouped build (limit() cannot short-circuit through the
-        # build's aggregation shuffle)
-        filters = filters.localCheckpoint()
+        if not built_here:
+            # caller-passed frame: still materialize before the double
+            # consumption (routing count + probe); one row per group
+            filters = filters.localCheckpoint()
         # one tiny agg over the one-row-per-group filters frame; limit()
         # bounds the job at the threshold instead of a full count
         over = filters.limit(AUTO_COGROUP_GROUPS + 1).count()

@@ -337,8 +337,14 @@ def build_sharded_cuckoo_filter(
     inner_hash = hash_fn
     if hash_fn == "xxhash64":
         # JVM-side hashing (whole-stage codegen): only 8-byte hashes cross
-        # the Arrow bridge instead of the key bytes
-        df = df.select(F.xxhash64(key_col).alias(key_col))
+        # the Arrow bridge instead of the key bytes. Nulls are dropped
+        # BEFORE hashing — F.xxhash64(NULL) returns the seed (42), a
+        # non-null bigint that would slip past the emitter's notna()
+        # filter and both inflate distinct_keys and store a phantom
+        # fingerprint (the metro64 route's COUNT(DISTINCT) null
+        # exclusion must hold on both routes)
+        df = df.where(F.col(key_col).isNotNull()).select(
+            F.xxhash64(key_col).alias(key_col))
         inner_hash = "__prehashed__"
     elif hash_fn != "metro64":
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
@@ -450,6 +456,14 @@ def sharded_might_contain_join(
             out = left[cols].copy()
             out[flag_col] = False
             return out
+        if len(right) > 1:
+            # same guard as the grouped probes: probing only iloc[0]
+            # would silently miss every key stored in the other blob
+            # (false negatives)
+            raise ValueError(
+                f"shard {int(right['__shard'].iloc[0])} has {len(right)} "
+                f"blob rows — duplicate rows per shard (were two builds' "
+                f"frames unioned?)")
         kern = CuckooProbe(bytes(right["blob"].iloc[0]))
         if hash_fn == "xxhash64":
             h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
@@ -541,6 +555,13 @@ def sharded_delete(
                 {"shard": [shard], "requested": [len(left)], "deleted": [0],
                  "victim_used": [False], "blob": [None],
                  "format_version": [SHARD_FORMAT_VERSION]})
+        if len(right) > 1:
+            # rewriting only iloc[0] would drop the other blob from the
+            # output artifact — permanent data loss
+            raise ValueError(
+                f"shard {int(right['__shard'].iloc[0])} has {len(right)} "
+                f"blob rows — duplicate rows per shard (were two builds' "
+                f"frames unioned?)")
         shard = int(right["__shard"].iloc[0])
         blob = bytes(right["blob"].iloc[0])
         if len(left) == 0:  # untouched shard passes through unchanged

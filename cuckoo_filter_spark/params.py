@@ -37,7 +37,11 @@ TABLE_VACUUM = 2  # our extension (vacuum layout, single-table packing)
 # keeps 0xA0 marker bits so the byte can never equal a legal
 # tags_per_bucket value (2/4/8) — which is what occupied this position
 # in pre-versioning blobs — so stale blobs fail loud on decode.
-VACUUM_BLOB_VERSION = 0xA0 | 2
+# Version 3: the header grew 3 pad bytes (slots at offset 28, 4-byte
+# aligned for zero-copy probes) — a 0xA2 blob decoded at the new offset
+# would fail with an opaque buffer-size error (or worse, misread), so
+# the layout change gets its own version per this file's own rule.
+VACUUM_BLOB_VERSION = 0xA0 | 3
 
 MAX_CUCKOO_KICKS = 500  # cuckoofilter.go:19
 

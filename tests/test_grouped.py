@@ -213,3 +213,48 @@ def test_grouped_cogroup_join_rejects_duplicate_blob_rows(spark):
 
     with pytest.raises(ValueError, match="duplicate rows"):
         grouped_might_contain_udf(spark, doubled)
+
+
+def test_grouped_distinct_count_keeps_all_null_key_groups(spark):
+    """SQL COUNT(DISTINCT k) GROUP BY g returns (g, 0) for a group whose
+    keys are all NULL — the group row must not vanish."""
+    df = spark.createDataFrame(
+        [("a", "k1"), ("a", "k2"), ("b", None), ("b", None), (None, None),
+         ("c", "k1"), ("c", None)],
+        "g string, key string")
+    got = {r["g"]: r["n_distinct"]
+           for r in grouped_distinct_count(df, "g", "key").collect()}
+    assert got == {"a": 2, "b": 0, None: 0, "c": 1}
+
+
+def test_grouped_build_xxhash64_excludes_null_keys(spark):
+    """xxhash64 route: F.xxhash64(NULL)=42 must not inflate n_distinct
+    (documented as the exact raw-key distinct count)."""
+    df = spark.createDataFrame(
+        [("g1", f"k{i}") for i in range(100)] + [("g1", None)] * 10,
+        "g string, key string")
+    row = build_grouped_filters(df, "g", "key", hash_fn="xxhash64").collect()[0]
+    assert row["n_distinct"] == 100
+
+
+def test_grouped_anti_join_xxhash64_routes_to_cogroup(spark):
+    """xxhash64 grouped builds work through the cogroup probe; only the
+    broadcast probe is metro64-only (fails loud)."""
+    import pytest
+
+    from cuckoo_filter_spark.operators.grouped import grouped_anti_join
+
+    seen = spark.createDataFrame(
+        [("g1", f"k{i}") for i in range(50)], "g string, key string")
+    probe = spark.createDataFrame(
+        [("g1", f"k{i}") for i in range(40, 60)], "g string, key string")
+    out = grouped_anti_join(probe, "g", "key", seen, via="cogroup",
+                            hash_fn="xxhash64")
+    assert {r["key"] for r in out.collect()} == {f"k{i}" for i in range(50, 60)}
+    # auto with xxhash64 silently routes to cogroup too
+    out2 = grouped_anti_join(probe, "g", "key", seen, via="auto",
+                             hash_fn="xxhash64")
+    assert out2.count() == 10
+    with pytest.raises(ValueError, match="broadcast"):
+        grouped_anti_join(probe, "g", "key", seen, via="broadcast",
+                          hash_fn="xxhash64")

@@ -64,3 +64,26 @@ def test_batch_matches_scalar_on_pandas_strings():
     got = metro64_batch(s)
     expected = np.array([metro64(x.encode()) for x in s], dtype=np.uint64)
     assert np.array_equal(got, expected)
+
+
+def test_metro64_flat_chunked_outlier_parity(monkeypatch):
+    """Long-document outliers: when the dense pad buffer would blow the
+    budget, the sort+chunk path must produce bit-identical hashes with
+    bounded per-chunk area."""
+    import numpy as np
+
+    import cuckoo_filter_spark.hashing as H
+
+    rng = np.random.default_rng(3)
+    parts, lens = [], []
+    for i in range(500):
+        n = 5000 if i % 97 == 0 else int(rng.integers(0, 80))  # outliers
+        b = rng.integers(0, 256, size=n, dtype=np.int64).astype(np.uint8)
+        parts.append(b)
+        lens.append(n)
+    flat = np.concatenate(parts)
+    lens = np.array(lens, dtype=np.int64)
+    want = H._metro64_flat_masked(flat, lens)
+    monkeypatch.setattr(H, "_PAD_BUDGET", 1 << 14)  # force chunking
+    got = H.metro64_flat(flat, lens)
+    assert (got == want).all()

@@ -499,3 +499,20 @@ def test_poisoned_kernel_blocks_all_ops_and_merge():
         good.merge(bad)
     bad.reset()
     assert bad.add_hashed(idx, tag).all()  # consistent again after reset
+
+
+def test_split_hash_rejects_non_pow2():
+    """The module-level pow2 helpers must fail loud on a vacuum-layout
+    bucket count — masking with nb-1 would silently probe wrong
+    buckets. Layout-generic code uses CuckooParams.split/alt."""
+    import numpy as np
+    import pytest
+
+    from cuckoo_filter_spark.kernel.filter import alt_index, split_hash
+
+    h = np.arange(8, dtype=np.uint64)
+    with pytest.raises(ValueError, match="pow2-only"):
+        split_hash(h, 3000, 16)
+    with pytest.raises(ValueError, match="pow2-only"):
+        alt_index(np.zeros(4, dtype=np.int64), np.ones(4, dtype=np.uint32),
+                  3000)

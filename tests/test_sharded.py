@@ -414,3 +414,49 @@ def test_shard_router_no_index_confinement_at_large_geometry():
     # (n-1)/(n+1) >= 0.84; slice confinement would pin ~0.008
     assert spans.mean() > 0.5, spans.mean()
     assert (spans > 0.25).mean() > 0.95, (spans > 0.25).mean()
+
+
+def test_duplicate_shard_blob_rows_raise(spark, keys_df):
+    """Probing/deleting only blob row iloc[0] when a shard has multiple
+    blob rows silently misses the other blob's memberships (join) or
+    drops it from the artifact (delete) — both must fail loud, same
+    policy as the grouped probes."""
+    import pytest
+
+    from cuckoo_filter_spark.operators.sharded import (
+        build_sharded_cuckoo_filter,
+        sharded_delete,
+        sharded_might_contain_join,
+    )
+
+    build = build_sharded_cuckoo_filter(keys_df, "key", capacity=2_000,
+                                        num_shards=4)
+    frame = spark.createDataFrame(
+        [(int(s), bytearray(b), 2) for s, b in build.blobs.items()],
+        "shard int, blob binary, format_version int")
+    doubled = frame.unionByName(frame)
+    probe = keys_df.limit(50)
+    with pytest.raises(Exception, match="blob rows"):
+        sharded_might_contain_join(probe, "key", build,
+                                   shards_df=doubled).count()
+    with pytest.raises(Exception, match="blob rows"):
+        sharded_delete(probe, "key", build, shards_df=doubled)
+
+
+def test_xxhash64_build_excludes_null_keys(spark):
+    """F.xxhash64(NULL) returns the seed 42 (non-null), which would slip
+    past the notna() filter: null keys must not inflate distinct_keys or
+    store a phantom fingerprint — COUNT(DISTINCT) null exclusion holds
+    on both hash routes."""
+    from cuckoo_filter_spark.operators.sharded import (
+        build_sharded_cuckoo_filter,
+    )
+
+    rows = [(f"k{i}",) for i in range(500)] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "key string")
+    bx = build_sharded_cuckoo_filter(df, "key", capacity=600, num_shards=4,
+                                     mode="unique_global", hash_fn="xxhash64")
+    bm = build_sharded_cuckoo_filter(df, "key", capacity=600, num_shards=4,
+                                     mode="unique_global")
+    assert bx.distinct_keys == 500 == bm.distinct_keys
+    assert sum(m["stored"] for m in bx.metrics) == 500
