@@ -395,9 +395,18 @@ class ScalarFilter:
         if table_type == TABLE_PACKED:
             table = PackedTable.decode(data[13:])
             params = CuckooParams(4, table.f, table.num_buckets, TABLE_PACKED)
-        else:
+        elif table_type == 0:  # TABLE_SINGLE
             table = SingleTable.decode(data[13:])
             params = CuckooParams(table.b, table.f, table.num_buckets, TABLE_SINGLE)
+        else:
+            # the oracle models the two Go layouts ONLY: a vacuum blob
+            # (spark extension, type byte 2) or a corrupt byte must fail
+            # loud here, not mis-parse as SingleTable (which would read
+            # the vacuum version byte as tags_per_bucket and return a
+            # garbage filter under python -O)
+            raise ValueError(
+                f"scalar oracle decodes Go layouts only (type byte "
+                f"{table_type}); vacuum blobs belong to CuckooKernel.from_bytes")
         out = cls(params)
         out.table = table
         out.num_items = num_items

@@ -39,7 +39,11 @@ def run_dedup_batches(pdfs, key_col, cols, on_overflow: str,
             continue
         if kern.victim_used and on_overflow == "rotate":
             kern = CuckooKernel(params)  # new dedup epoch
-        fresh = kern.add_unique(pdf[key_col])
+        # hash ONCE per batch: the saturated fallback below re-probes
+        # with the same fingerprints (rotation keeps params, so they
+        # stay valid across an epoch switch)
+        idx, tag = kern.fingerprints(pdf[key_col])
+        fresh = kern.add_unique_hashed(idx, tag)
         if kern.victim_used:
             if on_overflow == "error":
                 raise RuntimeError(
@@ -48,7 +52,7 @@ def run_dedup_batches(pdfs, key_col, cols, on_overflow: str,
                     f"or num_shards, or use on_overflow='passthrough'")
             # saturated: add_unique rejects keys it could not store —
             # emit the genuinely-new ones anyway (at-least-once)
-            fresh = fresh | ~kern.contain(pdf[key_col])
+            fresh = fresh | ~kern.contain_hashed(idx, tag)
         out = pdf.loc[fresh, cols]
         if len(out):
             yield out
@@ -80,9 +84,16 @@ def streaming_dedup(
       windowed to ~shard_capacity keys per epoch; duplicates spanning a
       rotation re-emit. Bounded state, no data loss.
     * 'error' — fail the query loud (size shards up instead).
+
+    Null-key rows are DROPPED (no dedup identity — same null exclusion
+    as the batch builds): a numeric NULL would otherwise crash the
+    state function (NaN bytes), and a string NULL hashes identically
+    to '' (Arrow zero-length view), silently deduping NULL against the
+    empty string. Pre-split null-key rows upstream if you need them.
     """
     if on_overflow not in ("passthrough", "rotate", "error"):
         raise ValueError(f"unknown on_overflow {on_overflow!r}")
+    stream_df = stream_df.where(F.col(key_col).isNotNull())
     params = CuckooParams.for_capacity(shard_capacity, 4, bits_per_item, 0)
     in_schema = stream_df.schema
     out_schema = stream_df.schema

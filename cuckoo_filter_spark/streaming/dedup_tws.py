@@ -82,6 +82,9 @@ def streaming_dedup_tws(
 
     require_protobuf("streaming.dedup.streaming_dedup")
     params = CuckooParams.for_capacity(shard_capacity, 4, bits_per_item, 0)
+    # null-key rows dropped — same contract as streaming_dedup (see its
+    # docstring: NaN bytes crash the core; string NULL aliases '')
+    stream_df = stream_df.where(F.col(key_col).isNotNull())
     cols = [f.name for f in stream_df.schema.fields]
     shards = stream_df.withColumn(
         "__shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards))

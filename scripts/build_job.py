@@ -19,6 +19,13 @@ Local smoke:
 
 The job is idempotent/resumable: with --checkpoint-dir, completed
 shards are skipped on rerun and the final filter is bit-identical.
+With --checkpoint-dir the shard blobs live under
+<checkpoint-dir>/shards (the checkpoint IS the output; --output is
+not needed and rejected if both are given — the old behavior silently
+ignored --output while reporting it as written). The checkpoint
+manifest is managed with local-fs I/O, so --checkpoint-dir must be a
+local/NFS path visible to the driver — an s3://-style URI fails loud
+here rather than writing a literal './s3:/...' directory.
 Prints one JSON line of build metrics.
 """
 
@@ -37,7 +44,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="parquet path / iceberg table")
     p.add_argument("--key-col", default="url")
-    p.add_argument("--output", required=True, help="shard blob parquet dir")
+    p.add_argument("--output", default=None,
+                   help="shard blob parquet dir (required unless "
+                        "--checkpoint-dir, whose <dir>/shards is the output)")
     p.add_argument("--num-shards", type=int, default=32)
     p.add_argument("--bits-per-item", type=int, default=16)
     p.add_argument("--tags-per-bucket", type=int, default=4)
@@ -46,6 +55,17 @@ def main() -> None:
     p.add_argument("--capacity", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
     args = p.parse_args()
+    if args.checkpoint_dir:
+        if args.output:
+            p.error("--output and --checkpoint-dir are mutually exclusive: "
+                    "the checkpointed build writes shards under "
+                    "<checkpoint-dir>/shards (that IS the output)")
+        if "://" in args.checkpoint_dir:
+            p.error("--checkpoint-dir must be a local/NFS path (the "
+                    "manifest uses local-fs I/O); remote URIs would write "
+                    "a literal './scheme:/...' directory")
+    elif not args.output:
+        p.error("--output is required without --checkpoint-dir")
 
     from pyspark.sql import SparkSession
 

@@ -14,11 +14,14 @@ Pure numpy (no Spark). Run on an idle box:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# repo root from __file__, same as the sibling scripts — a cwd-relative
+# path made the calibration protocol irreproducible from any other cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cuckoo_filter_spark.kernel.filter import CuckooKernel  # noqa: E402
 from cuckoo_filter_spark.params import TABLE_VACUUM, CuckooParams  # noqa: E402

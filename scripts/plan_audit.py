@@ -102,11 +102,15 @@ def main() -> None:
         sharded_might_contain_join,
     )
 
+    from cuckoo_filter_spark.operators.sharded import SHARD_FORMAT_VERSION
+
     parts = spark.read.parquet(f"{SF}/part.parquet")
     build = build_sharded_cuckoo_filter(parts, "p_partkey", num_shards=8)
+    # explicitly-passed frames must carry format_version (r5 strict check)
     shards_df = spark.createDataFrame(
-        [(int(s), bytearray(b)) for s, b in build.blobs.items()],
-        "shard int, blob binary")
+        [(int(s), bytearray(b), SHARD_FORMAT_VERSION)
+         for s, b in build.blobs.items()],
+        "shard int, blob binary, format_version int")
     probed = sharded_might_contain_join(
         li.select("l_partkey"), "l_partkey", build, shards_df=shards_df)
     p = plan_of(probed)
@@ -129,9 +133,21 @@ def main() -> None:
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "PLANS.md"), "w") as f:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLANS.md")
+    # regenerate ONLY this script's sections: everything from the manual
+    # marker down (round-3+ hand-audited plan shapes) is preserved
+    marker = "# Round 3 additions"
+    tail = ""
+    if os.path.exists(path):
+        cur = open(path).read()
+        i = cur.find(marker)
+        if i >= 0:
+            tail = cur[i:]
+    with open(path, "w") as f:
         f.write("\n".join(out))
+        if tail:
+            f.write("\n" + tail)
     print("checks:", [(n, ok) for n, ok, _ in sections])
     spark.stop()
 

@@ -516,3 +516,18 @@ def test_split_hash_rejects_non_pow2():
     with pytest.raises(ValueError, match="pow2-only"):
         alt_index(np.zeros(4, dtype=np.int64), np.ones(4, dtype=np.uint32),
                   3000)
+
+
+def test_scalar_oracle_rejects_vacuum_blob():
+    """The scalar oracle models the two Go layouts only — a vacuum blob
+    (spark extension) must fail loud, not mis-parse as SingleTable."""
+    import numpy as np
+    import pytest
+
+    from cuckoo_filter_spark.kernel.filter import CuckooKernel
+    from cuckoo_filter_spark.oracle.scalar import ScalarFilter
+    from cuckoo_filter_spark.params import TABLE_VACUUM, CuckooParams
+
+    kern = CuckooKernel(CuckooParams.for_capacity(5000, 4, 16, TABLE_VACUUM))
+    with pytest.raises(ValueError, match="Go layouts only"):
+        ScalarFilter.decode(kern.to_bytes())

@@ -492,3 +492,55 @@ def test_checkpoint_rejects_different_input(spark, tmp_path):
         build_checkpointed(spark.read.parquet(pa), "key", ckpt2,
                            capacity=1000, num_shards=4,
                            input_fingerprint="crawl-v2")
+
+
+def test_streaming_dedup_drops_null_keys(spark, tmp_path):
+    """Null keys have no dedup identity: a numeric NULL used to crash
+    the state function (NaN bytes) and a string NULL aliased '' (Arrow
+    zero-length view). Contract: null-key rows are dropped."""
+    import pandas as pd
+
+    from cuckoo_filter_spark.streaming.dedup import streaming_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = pd.DataFrame({"user_id": ["u1", None, "", "u1", None, "u2"]})
+    spark.createDataFrame(pdf).write.parquet(f"{src}/b0.parquet")
+    stream = spark.readStream.schema("user_id string").parquet(
+        src + "/*.parquet")
+    out = streaming_dedup(stream, "user_id", num_shards=2,
+                          shard_capacity=1 << 12)
+    q = (out.writeStream.format("memory").queryName("null_dedup")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = sorted(r["user_id"] for r in
+                 spark.sql("select * from null_dedup").collect())
+    assert got == ["", "u1", "u2"]  # '' kept distinct; nulls dropped
+
+
+def test_incremental_build_replayed_batch_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once on restart: re-invoking the sink
+    with an already-committed batch_id must be a no-op (a multiset
+    re-merge would double-count every key of the batch)."""
+    from cuckoo_filter_spark.streaming.incremental import (
+        incremental_filter_build,
+    )
+
+    sink = incremental_filter_build(str(tmp_path / "f"), "key",
+                                    capacity=10_000, mode="multiset")
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "key string")
+    sink(df, 0)
+    blob_after_first = sink.current().to_bytes()
+    sink(df, 0)  # replay — must not merge again
+    assert sink.current().to_bytes() == blob_after_first
+    k = sink.current()
+    # multiset: exactly ONE copy per key stored (a double merge would
+    # leave two, and the second delete would succeed)
+    idx, tag = k.fingerprints(spark.createDataFrame(
+        [("k0",)], "key string").toPandas()["key"])
+    assert k.delete_hashed(idx, tag).all()
+    assert not k.delete_hashed(idx, tag).any()
+    sink(df, 1)  # the NEXT batch still merges
+    assert sink.current().to_bytes() != blob_after_first
