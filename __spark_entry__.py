@@ -239,6 +239,30 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (functions/text.py doc_fingerprint_udf —
+    metro64 over the whole text, the exact-dedup primitive): group the
+    planted batch by fingerprint and emit the duplicate-class-size
+    histogram. The oracle recomputes the histogram by grouping on the
+    TEXT itself, so equality proves the fingerprint is deterministic,
+    respects byte equality (planted copies land in the same class), and
+    is collision-free on this corpus — any collision would merge two
+    text classes and shift the histogram. NULL text fingerprints as ''
+    (the UDF's fillna), mirrored by COALESCE in the oracle."""
+    from cuckoo_filter_spark.functions.text import doc_fingerprint_udf
+
+    batch = _planted_batch(spark, sf_dir)
+    fp = doc_fingerprint_udf()
+    return (
+        batch.select(fp(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .orderBy("class_size")
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -905,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_auto_dedup": q_grouped_auto_dedup,
         "delete_workload": q_delete_workload,
         "token_stats": q_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1012,6 +1037,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(text)) AS BIGINT) AS n_chars
             FROM documents
             GROUP BY lang ORDER BY lang
+        """,
+        "doc_fingerprint": """
+            WITH batch AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+            ),
+            classes AS (
+                SELECT COUNT(*) AS class_size
+                FROM batch GROUP BY COALESCE(text, '')
+            )
+            SELECT class_size, COUNT(*) AS n_classes
+            FROM classes GROUP BY class_size ORDER BY class_size
         """,
         "minhash_dedup": """
             WITH batch AS (
