@@ -90,7 +90,12 @@ def build_checkpointed(
     mixing shards from two datasets (false negatives from a structure
     whose contract is "no false negatives"). Pass ``input_fingerprint``
     explicitly when the derived one is unsuitable (in-place rewritten
-    paths, non-file sources)."""
+    paths, non-file sources).
+
+    mode='unique_global' keeps its counting contract here too: the input
+    is repartition(key)-co-located, per-shard exact distinct counts
+    persist in the shard rows (so they survive kill-and-resume), and the
+    returned build carries their sum in ``distinct_keys``."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -140,10 +145,22 @@ def build_checkpointed(
             done = set()
 
     missing = sorted(set(range(num_shards)) - done)
+    unique = mode != "multiset"
+    count_keys = mode == "unique_global"
     if missing:
-        unique = mode != "multiset"
+        if count_keys:
+            # unique_global's counting contract (same as the declared
+            # sharded route): repartition(key) co-locates duplicates so
+            # the emitter's partition-local raw-key dedupe is globally
+            # exact per shard; per-shard counts persist in the shard
+            # rows, so they stay exact across kill-and-resume. The
+            # hash partitioning is deterministic, so bit-identical
+            # resume is preserved.
+            sel = sel.repartition(
+                spark.sparkContext.defaultParallelism, F.col(key_col))
         pairs = sel.mapInPandas(
-            _pair_emitter(params, key_col, num_shards, unique), PAIRS_SCHEMA
+            _pair_emitter(params, key_col, num_shards, unique,
+                          count_keys=count_keys), PAIRS_SCHEMA
         )
         # partition pruning of finished shards before the shuffle
         pairs = pairs.where(F.col("shard").isin([int(m) for m in missing]))
@@ -156,10 +173,16 @@ def build_checkpointed(
     check_shard_format(sdf, "build_sharded_with_checkpoint")
     rows = sdf.drop("blob").collect()
     metrics = [
-        {k: r[k] for k in ("shard", "rows", "stored", "kicks", "victim_used",
-                           "load_factor", "wall_ms")}
+        # SAME key set as the declared/deferred sharded routes (shape
+        # parity): distinct_keys is exact per shard under unique_global,
+        # None otherwise
+        {k: r[k] for k in ("shard", "rows", "stored", "distinct_keys",
+                           "kicks", "victim_used", "load_factor", "wall_ms")}
         for r in rows
     ]
+    dk_total = (sum(m["distinct_keys"] or 0 for m in metrics)
+                if count_keys else None)
     return ShardedCuckooBuild(
-        params=params, num_shards=num_shards, blobs={}, metrics=metrics, path=sdir
+        params=params, num_shards=num_shards, blobs={}, metrics=metrics,
+        path=sdir, distinct_keys=dk_total,
     )

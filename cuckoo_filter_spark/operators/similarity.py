@@ -33,9 +33,12 @@ BRUTE_FORCE_MAX_QUERIES = 100_000
 
 
 def _queries_df(spark, queries, query_id_col: str, query_vec_col: str):
-    """Normalize a queries input to a (query_id, qvec) DataFrame."""
+    """Normalize a queries input to a (query_id, qvec) DataFrame.
+    Null query vectors are dropped (they can match nothing, and
+    _as_matrix would crash on them inside the routing UDFs — same
+    contract as embedding_near_dup_pairs, ADVICE r4)."""
     if isinstance(queries, DataFrame):
-        return queries.select(
+        return queries.where(F.col(query_vec_col).isNotNull()).select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).cast("array<double>").alias("qvec"))
     rows = [(int(q), [float(x) for x in v]) for q, v in queries]
@@ -50,8 +53,9 @@ def _collect_queries(queries, query_id_col: str, query_vec_col: str):
         return list(queries)
     # ONE bounded job: limit(cap+1) both enforces the cap and fetches
     # the rows (a count() + collect() pair would scan the query subplan
-    # twice)
-    rows = queries.select(query_id_col, query_vec_col).limit(
+    # twice). Null query vectors are dropped — they can match nothing.
+    rows = queries.where(F.col(query_vec_col).isNotNull()).select(
+        query_id_col, query_vec_col).limit(
         BRUTE_FORCE_MAX_QUERIES + 1).collect()
     if len(rows) > BRUTE_FORCE_MAX_QUERIES:
         raise ValueError(
@@ -117,6 +121,9 @@ def brute_force_top_k(
     descending cosine (ties broken by neighbor_id for determinism).
     """
     spark = df.sparkSession
+    # null-vector rows can match nothing and would crash _as_matrix
+    # inside the scoring UDF (same exclusion as embedding_near_dup_pairs)
+    df = df.where(F.col(vec_col).isNotNull())
     queries = _collect_queries(queries, query_id_col, query_vec_col)
     if not queries:
         # np.array([]) is 1-D and the axis=1 norm below would raise;
@@ -295,12 +302,20 @@ def build_ivf_index(
     per cell (floored at 4096) so high cell counts don't starve
     k-means."""
     spark = df.sparkSession
+    # null-vector rows are excluded from the index (no cell assignment
+    # is possible and _as_matrix/_sample_vectors would crash on them —
+    # same exclusion as embedding_near_dup_pairs, ADVICE r4)
+    df = df.where(F.col(vec_col).isNotNull())
     if n_cells is None:
         n = approx_count if approx_count is not None else df.count()
         n_cells = choose_ivf_cells(n, max_cells)
     if sample_rows is None:
         sample_rows = max(4096, 16 * n_cells)
     sample = _sample_vectors(df, vec_col, sample_rows, seed)
+    if len(sample) == 0:
+        raise ValueError(
+            "build_ivf_index: no non-null vectors to train on — the "
+            "corpus is empty (or every vector is null)")
     centers = _kmeans(sample, n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(centers)
 
@@ -384,8 +399,15 @@ def add_hyperplane_bucket(
     LSH; P[bit equal] = 1 − θ/π). Pass ``planes`` when the caller
     already probed the dimension (skips the first() job)."""
     spark = df.sparkSession
+    # null vectors have no bucket and crash the projection UDF — drop
+    # them (same exclusion as embedding_near_dup_pairs); probe the
+    # dimension from the first NON-null row
+    df = df.where(F.col(vec_col).isNotNull())
     if planes is None:
         first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError(
+                "add_hyperplane_bucket: no non-null vectors to bucket")
         dim = len(first[0])
         planes = _hyperplanes(dim, n_planes, seed)
     bp = spark.sparkContext.broadcast(planes)
@@ -440,11 +462,18 @@ def lsh_top_k(
     path assigns multiprobe buckets inside a pandas UDF and joins on
     ``bucket`` without any driver collect (query-table scale)."""
     spark = df.sparkSession
+    # null vectors match nothing — excluded here AND inside
+    # add_hyperplane_bucket (this filter also makes the dimension probe
+    # below read the first NON-null row)
+    df = df.where(F.col(vec_col).isNotNull())
     shared_planes = None
     if isinstance(queries, DataFrame):
         # probe the dimension ONCE: data bucketing and query bucketing
         # share the same plane matrix
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("lsh_top_k: no non-null vectors in the corpus")
+        dim = len(first[0])
         shared_planes = _hyperplanes(dim, n_planes, seed)
     bucketed = add_hyperplane_bucket(df.select(id_col, vec_col), vec_col,
                                      n_planes, seed, planes=shared_planes)

@@ -125,7 +125,6 @@ def _gen_batch(rowids: np.ndarray, n_hosts: int, dup_rate: float, seed: int) -> 
 
     avg_word = 5  # ~"w123 " ≈ 5 chars
     n_words = np.maximum(n_chars // avg_word, 0)
-    max_words = int(n_words.max()) if len(n_words) else 0
     texts = []
     for k, (r, nw, nc) in enumerate(zip(rid, n_words, n_chars)):
         if nc == 0:

@@ -48,10 +48,15 @@ def run_windowed_hll_batches(
            else HLLSketch(p=p))
     n = 0
     for pdf in pdfs:
-        if len(pdf) == 0:
+        # COUNT(DISTINCT) null semantics (same exclusion as the batch
+        # sketches and streaming dedup): astype(str) would otherwise
+        # turn a NULL key into the literal "None"/"nan" string and
+        # count it as one phantom distinct value per window
+        vals = pdf[key_col].dropna()
+        if len(vals) == 0:
             continue
-        hll.update(pdf[key_col].astype(str))
-        n += len(pdf)
+        hll.update(vals.astype(str))
+        n += len(vals)
     updates += n
     frame = pd.DataFrame(
         {

@@ -544,3 +544,26 @@ def test_incremental_build_replayed_batch_is_skipped(spark, tmp_path):
     assert not k.delete_hashed(idx, tag).any()
     sink(df, 1)  # the NEXT batch still merges
     assert sink.current().to_bytes() != blob_after_first
+
+
+def test_checkpointed_unique_global_distinct_count(spark, tmp_path):
+    """build_checkpointed(mode='unique_global') keeps the counting
+    contract of the declared sharded route: exact distinct_keys total on
+    the build, per-shard counts in the metrics rows (shape parity), and
+    the counts survive a kill-and-resume because they persist in the
+    shard parquet."""
+    from cuckoo_filter_spark.operators.checkpoint import build_checkpointed
+
+    df = spark.createDataFrame(
+        [(f"k{i % 300}",) for i in range(1200)], "key string"
+    ).repartition(6)  # duplicates spread across partitions
+    d = str(tmp_path / "ug")
+    b = build_checkpointed(df, "key", d, capacity=300, num_shards=4,
+                           mode="unique_global")
+    assert b.distinct_keys == 300
+    assert all("distinct_keys" in m for m in b.metrics)
+    assert sum(m["distinct_keys"] for m in b.metrics) == 300
+    # resume from the completed checkpoint: counts come from the parquet
+    b2 = build_checkpointed(df, "key", d, capacity=300, num_shards=4,
+                            mode="unique_global")
+    assert b2.distinct_keys == 300

@@ -221,3 +221,38 @@ def test_brute_force_empty_queries(spark):
     out = brute_force_top_k(df, "vec", "id", queries=[])
     assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
     assert out.count() == 0
+
+
+def test_null_vectors_dropped_all_paths(spark):
+    """A NULL embedding (missing vector) in the corpus or the query
+    table must be DROPPED, not crash _as_matrix / the dimension probe
+    with an opaque numpy error — the same exclusion contract as
+    embedding_near_dup_pairs (ADVICE r4). Results must equal the
+    null-free corpus' results on every path."""
+    from cuckoo_filter_spark.operators.similarity import ivf_top_k
+
+    rng = np.random.default_rng(3)
+    base = [(i, rng.standard_normal(8).tolist()) for i in range(60)]
+    clean = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    with_nulls = clean.unionByName(spark.createDataFrame(
+        [(1000, None), (1001, None)], "vec_id long, embedding array<double>"))
+    queries = [(0, base[0][1]), (7, base[7][1])]
+    qdf_nulls = spark.createDataFrame(
+        queries + [(99, None)], "query_id long, qvec array<double>")
+
+    for fn, kw in [
+        (brute_force_top_k, {}),
+        (ivf_top_k, {"n_cells": 4, "nprobe": 4}),
+        (lsh_top_k, {"n_planes": 6, "multiprobe_hamming": 2}),
+    ]:
+        want = {(r["query_id"], r["neighbor_id"], r["rank"])
+                for r in fn(clean, "embedding", "vec_id", queries,
+                            k=3, **kw).collect()}
+        got_corpus = {(r["query_id"], r["neighbor_id"], r["rank"])
+                      for r in fn(with_nulls, "embedding", "vec_id",
+                                  queries, k=3, **kw).collect()}
+        assert got_corpus == want, fn.__name__
+        got_q = {(r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in fn(with_nulls, "embedding", "vec_id",
+                             qdf_nulls, k=3, **kw).collect()}
+        assert got_q == want, fn.__name__  # null query dropped

@@ -175,3 +175,28 @@ def test_windowed_state_evicted_after_watermark(spark, tmp_path):
     write_batch("b2", hour=11)  # extra batch so the timeout fires pre-stop
     n = run_once()
     assert n is not None and n <= 2, f"hour-0 state not evicted: {n} rows"
+
+
+def test_windowed_core_excludes_null_keys():
+    """COUNT(DISTINCT) null semantics in the shared core: astype(str)
+    used to turn a NULL key into the literal "None"/"nan" string and
+    count one phantom distinct per window."""
+    import pandas as pd
+
+    from cuckoo_filter_spark.streaming.windowed import (
+        run_windowed_hll_batches,
+    )
+
+    clean = pd.DataFrame({"uid": [f"u{i}" for i in range(100)]})
+    b_str = pd.DataFrame({"uid": [f"u{i}" for i in range(100)] + [None] * 40})
+    b_num = pd.DataFrame({"uid": pd.array(
+        list(range(100)) + [None] * 40, dtype="Int64")})
+    blob_c, up_c, f_c = run_windowed_hll_batches(
+        [clean], "uid", 12, pd.Timestamp("2025-01-01"), None, 0)
+    blob_s, up_s, f_s = run_windowed_hll_batches(
+        [b_str], "uid", 12, pd.Timestamp("2025-01-01"), None, 0)
+    assert up_s == up_c == 100  # nulls not folded in
+    assert blob_s == blob_c  # identical sketch → no phantom "None" key
+    _, up_n, f_n = run_windowed_hll_batches(
+        [b_num], "uid", 12, pd.Timestamp("2025-01-01"), None, 0)
+    assert up_n == 100 and abs(f_n["estimate"][0] - 100) < 10
