@@ -291,8 +291,14 @@ def grouped_might_contain_join(
     per task at the cost of shuffling R copies of each blob.
 
     Returns probe columns + boolean ``flag_col``. Keys whose group has
-    no filter row get False. Supports both recorded hash_fns (xxhash64
-    probes pre-hash JVM-side, exactly like the sharded join)."""
+    no filter row get False — including NULL-group rows: a NULL group
+    equals nothing under SQL IN/EXISTS semantics, and the broadcast
+    probe (factorize NA sentinel) already answers False there, so the
+    NULL-group blob rows are excluded from the cogroup rather than
+    letting Spark's groupBy pair the two NULL groups and silently
+    diverge from the broadcast path. Supports both recorded hash_fns
+    (xxhash64 probes pre-hash JVM-side, exactly like the sharded
+    join)."""
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     cols = probe.columns
@@ -310,7 +316,11 @@ def grouped_might_contain_join(
     hash_fn = fns[0] if fns else "metro64"
 
     gcol = filters.columns[0]
-    blobs = filters.select(F.col(gcol).alias(group_col), "blob")
+    # NULL-group parity with the broadcast probe (see docstring): the
+    # NULL group's blob never participates, so NULL-group probe rows
+    # cogroup against an empty right side and flag False
+    blobs = filters.select(F.col(gcol).alias(group_col), "blob").where(
+        F.col(group_col).isNotNull())
     probe_k = probe
     if hash_fn == "xxhash64":
         probe_k = probe_k.withColumn("__h", F.xxhash64(F.col(key_col)))

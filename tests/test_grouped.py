@@ -258,3 +258,43 @@ def test_grouped_anti_join_xxhash64_routes_to_cogroup(spark):
     with pytest.raises(ValueError, match="broadcast"):
         grouped_anti_join(probe, "g", "key", seen, via="broadcast",
                           hash_fn="xxhash64")
+
+
+def test_grouped_probe_null_group_parity(spark):
+    """NULL-group probe rows flag False on BOTH probe paths (SQL
+    IN/EXISTS semantics: a NULL group equals nothing). Spark's cogroup
+    pairs the two NULL groups, so without the blob-side null exclusion
+    the cogroup path probed the NULL-group filter while the broadcast
+    path (factorize NA sentinel) answered False — divergent flags. The
+    anti join stays exact either way (left_anti never matches a NULL
+    group); this pins the flag parity itself."""
+    from cuckoo_filter_spark.operators.grouped import (
+        grouped_might_contain_join,
+    )
+
+    seen = spark.createDataFrame(
+        [("en", "a"), ("en", "b"), (None, "n1"), (None, "n2")],
+        "lang string, text string")
+    probe = spark.createDataFrame(
+        [("en", "a"), ("en", "zz"), (None, "n1"), (None, "zz")],
+        "lang string, text string")
+    filters = build_grouped_filters(seen, "lang", "text")
+
+    mc = grouped_might_contain_udf(spark, filters)
+    bflags = {(r["lang"], r["text"]): r["f"] for r in probe.select(
+        "lang", "text", mc("lang", "text").alias("f")).collect()}
+    cflags = {(r["lang"], r["text"]): r["f"] for r in
+              grouped_might_contain_join(probe, "lang", "text", filters,
+                                         flag_col="f").collect()}
+    assert bflags == cflags
+    assert bflags[(None, "n1")] is False  # member of the NULL-group
+    # filter, but NULL group matches nothing under IN semantics
+    assert bflags[("en", "a")] is True
+
+    # the anti join emits every NULL-group row (NOT EXISTS semantics)
+    # identically through both routes
+    for via in ("broadcast", "cogroup"):
+        got = sorted(((r["lang"], r["text"]) for r in grouped_anti_join(
+            probe, "lang", "text", seen, via=via).collect()),
+            key=lambda t: (t[0] or "", t[1]))
+        assert got == [(None, "n1"), (None, "zz"), ("en", "zz")], via
