@@ -816,6 +816,56 @@ def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan approximate ROLLUP(COUNT DISTINCT): distinct users per
+    (event_type, day) / per event_type / grand total from a SINGLE pass —
+    raw keys never shuffle, only 2^p-byte HLL register blobs move, and each
+    coarser cube level merges the finer level's ALREADY-MERGED blobs
+    (register max is associative — same merge law the reference pins for
+    filter union, cuckoofilter.go:246-318). Oracle-checked via the
+    bound-boolean protocol: the estimate is deterministic given (p, data),
+    so each group's |est−exact|/exact ≤ 4σ boolean is a deterministic TRUE
+    the SQL ROLLUP reproduces, and n_exact pins every exact count."""
+    from cuckoo_filter_spark.sketches import HLLSketch
+    from cuckoo_filter_spark.sketches.rollup import hll_rollup
+
+    _ensure_package(spark)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type",
+            F.date_format(F.col("ts").cast("timestamp"),
+                          "yyyy-MM-dd").alias("day"),
+            "user_id")
+        est = hll_rollup(ev, ["event_type", "day"], "user_id", p=14)
+        exact = ev.rollup("event_type", "day").agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            (F.lit(2) - F.grouping("event_type") - F.grouping("day"))
+            .cast("int").alias("lvl"))
+        tol = 4 * HLLSketch(p=14).relative_error()
+        # real data has no NULL group values (lvl disambiguates if it did);
+        # null-safe equality matches the rolled-up NULL markers
+        joined = est.alias("e").join(
+            exact.alias("x"),
+            est["event_type"].eqNullSafe(exact["event_type"])
+            & est["day"].eqNullSafe(exact["day"])
+            & (est["lvl"] == exact["lvl"]))
+        return (
+            joined.select(
+                F.col("e.event_type").alias("event_type"),
+                F.col("e.day").alias("day"),
+                F.col("x.lvl").alias("lvl"),
+                (F.abs(F.col("e.est_distinct") - F.col("x.n_exact"))
+                 / F.greatest(F.col("x.n_exact"), F.lit(1))
+                 <= tol).alias("within_4sigma"),
+                "x.n_exact")
+            .orderBy("lvl", "event_type", "day")
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest + KLL quantiles of lineitem extendedprice, built in ONE
     scan via build_sketches; oracle-checked: each estimate's EXACT rank
@@ -955,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact SQL-recomputable columns; pytest additionally pins the
         # published error bounds on controlled inputs
         "hll_distinct_estimate": q_hll_distinct_estimate,
+        "hll_rollup": q_hll_rollup,
         "quantile_sketches": q_quantile_sketches,
         "lang_id": q_lang_id,
     }
@@ -1291,6 +1342,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT TRUE AS within_4sigma,
                    COUNT(DISTINCT user_id) AS n_exact
             FROM events
+        """,
+        "hll_rollup": """
+            SELECT event_type,
+                   day,
+                   CAST(2 - GROUPING(event_type) - GROUPING(day) AS INT)
+                       AS lvl,
+                   TRUE AS within_4sigma,
+                   COUNT(DISTINCT user_id) AS n_exact
+            FROM (SELECT event_type,
+                         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         user_id
+                  FROM events)
+            GROUP BY ROLLUP(event_type, day)
+            ORDER BY lvl, event_type, day
         """,
         "quantile_sketches": """
             SELECT CAST(q AS DOUBLE) AS q,
