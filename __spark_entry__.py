@@ -866,6 +866,52 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan approximate CUBE(COUNT DISTINCT): all 2^k grouping sets
+    (here k=2: per (event_type, day), per event_type, per day, grand
+    total) from a SINGLE input pass — every set merges from the finest
+    level's already-merged HLL blobs, so adding sets costs blob-merges,
+    never rescans (the exact plan Expands the input 2^k× and shuffles
+    raw keys per set). Same bound-boolean oracle protocol as hll_rollup;
+    gid is the SQL GROUPING_ID bitmask both sides recompute."""
+    from cuckoo_filter_spark.sketches import HLLSketch
+    from cuckoo_filter_spark.sketches.cube import hll_cube
+
+    _ensure_package(spark)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type",
+            F.date_format(F.col("ts").cast("timestamp"),
+                          "yyyy-MM-dd").alias("day"),
+            "user_id")
+        est = hll_cube(ev, ["event_type", "day"], "user_id", p=14)
+        exact = ev.cube("event_type", "day").agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            (F.grouping("event_type") * 2 + F.grouping("day"))
+            .cast("int").alias("gid"))
+        tol = 4 * HLLSketch(p=14).relative_error()
+        joined = est.alias("e").join(
+            exact.alias("x"),
+            est["event_type"].eqNullSafe(exact["event_type"])
+            & est["day"].eqNullSafe(exact["day"])
+            & (est["gid"] == exact["gid"]))
+        return (
+            joined.select(
+                F.col("e.event_type").alias("event_type"),
+                F.col("e.day").alias("day"),
+                F.col("x.gid").alias("gid"),
+                (F.abs(F.col("e.est_distinct") - F.col("x.n_exact"))
+                 / F.greatest(F.col("x.n_exact"), F.lit(1))
+                 <= tol).alias("within_4sigma"),
+                "x.n_exact")
+            .orderBy("gid", "event_type", "day")
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest + KLL quantiles of lineitem extendedprice, built in ONE
     scan via build_sketches; oracle-checked: each estimate's EXACT rank
@@ -1006,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # published error bounds on controlled inputs
         "hll_distinct_estimate": q_hll_distinct_estimate,
         "hll_rollup": q_hll_rollup,
+        "hll_cube": q_hll_cube,
         "quantile_sketches": q_quantile_sketches,
         "lang_id": q_lang_id,
     }
@@ -1356,6 +1403,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP(event_type, day)
             ORDER BY lvl, event_type, day
+        """,
+        "hll_cube": """
+            SELECT event_type,
+                   day,
+                   CAST(2 * GROUPING(event_type) + GROUPING(day) AS INT)
+                       AS gid,
+                   TRUE AS within_4sigma,
+                   COUNT(DISTINCT user_id) AS n_exact
+            FROM (SELECT event_type,
+                         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         user_id
+                  FROM events)
+            GROUP BY CUBE(event_type, day)
+            ORDER BY gid, event_type, day
         """,
         "quantile_sketches": """
             SELECT CAST(q AS DOUBLE) AS q,

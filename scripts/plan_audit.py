@@ -130,6 +130,27 @@ def main() -> None:
     sections.append(("anti join: non-member bypass Union + exact LeftAnti",
                      ok, p))
 
+    # 8. hll_rollup partial stage: HLL partials are computed on the
+    # NATURAL input partitions — MapInPandas sits directly on the pruned
+    # scan with ZERO Exchange (the exact-rollup alternative Expands the
+    # input (k+1)× and shuffles raw keys per cube level)
+    from cuckoo_filter_spark.sketches.rollup import _partial_emitter
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    partials = ev.select("event_type", "user_id").mapInPandas(
+        _partial_emitter(["event_type"], "user_id", 12),
+        "event_type string, blob binary")
+    p = plan_of(partials)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    read_cols = sorted(c.split(":")[0] for c in rs.group(1).split(",")) if rs else []
+    ok = (
+        "MapInPandas" in p
+        and "Exchange" not in p
+        and read_cols == ["event_type", "user_id"]
+    )
+    sections.append(("hll_rollup partials: MapInPandas on natural "
+                     "partitions, zero Exchange, pruned scan", ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
