@@ -860,7 +860,10 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.greatest(F.col("x.n_exact"), F.lit(1))
                  <= tol).alias("within_4sigma"),
                 "x.n_exact")
-            .orderBy("lvl", "event_type", "day")
+            # explicit NULLS LAST: Spark defaults nulls-first ASC, DuckDB
+            # nulls-last — a real NULL group value would reorder otherwise
+            .orderBy("lvl", F.asc_nulls_last("event_type"),
+                     F.asc_nulls_last("day"))
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
@@ -906,7 +909,9 @@ def q_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.greatest(F.col("x.n_exact"), F.lit(1))
                  <= tol).alias("within_4sigma"),
                 "x.n_exact")
-            .orderBy("gid", "event_type", "day")
+            # explicit NULLS LAST — see q_hll_rollup
+            .orderBy("gid", F.asc_nulls_last("event_type"),
+                     F.asc_nulls_last("day"))
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
@@ -1402,7 +1407,7 @@ def oracle_sql() -> dict[str, str]:
                          user_id
                   FROM events)
             GROUP BY ROLLUP(event_type, day)
-            ORDER BY lvl, event_type, day
+            ORDER BY lvl, event_type NULLS LAST, day NULLS LAST
         """,
         "hll_cube": """
             SELECT event_type,
@@ -1416,7 +1421,7 @@ def oracle_sql() -> dict[str, str]:
                          user_id
                   FROM events)
             GROUP BY CUBE(event_type, day)
-            ORDER BY gid, event_type, day
+            ORDER BY gid, event_type NULLS LAST, day NULLS LAST
         """,
         "quantile_sketches": """
             SELECT CAST(q AS DOUBLE) AS q,

@@ -6,8 +6,10 @@ same partial-build + associative-merge distribution pattern."""
 from cuckoo_filter_spark.sketches.base import build_sketch
 from cuckoo_filter_spark.sketches.bloom import BloomSketch
 from cuckoo_filter_spark.sketches.countmin import CountMinSketch
+from cuckoo_filter_spark.sketches.cube import hll_cube, hll_grouping_sets
 from cuckoo_filter_spark.sketches.hll import HLLSketch
 from cuckoo_filter_spark.sketches.kll import KLLSketch
+from cuckoo_filter_spark.sketches.rollup import hll_rollup
 from cuckoo_filter_spark.sketches.tdigest import TDigestSketch
 
 __all__ = [
@@ -17,4 +19,7 @@ __all__ = [
     "CountMinSketch",
     "TDigestSketch",
     "KLLSketch",
+    "hll_rollup",
+    "hll_cube",
+    "hll_grouping_sets",
 ]

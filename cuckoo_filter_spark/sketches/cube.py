@@ -34,9 +34,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from cuckoo_filter_spark.sketches.hll import HLLSketch
 from cuckoo_filter_spark.sketches.rollup import (
+    _build_partials,
     _estimate_udf,
     _merge_level,
-    _partial_emitter,
+    _validate_cols,
 )
 
 
@@ -62,6 +63,7 @@ def hll_grouping_sets(
     """
     if not group_cols:
         raise ValueError("hll_grouping_sets needs at least one group column")
+    _validate_cols(group_cols, key_col, est_col, "gid")
     canon: list[tuple[str, ...]] = []
     seen: set[tuple[str, ...]] = set()
     for s in sets:
@@ -78,13 +80,7 @@ def hll_grouping_sets(
     if not canon:
         raise ValueError("hll_grouping_sets needs at least one grouping set")
 
-    ddl_of = {c: f"{c} {df.schema[c].dataType.simpleString()}"
-              for c in group_cols}
-    gddl = ", ".join(ddl_of[c] for c in group_cols)
-
-    partials = df.select(*group_cols, key_col).mapInPandas(
-        _partial_emitter(group_cols, key_col, p),
-        f"{gddl}, blob binary")
+    partials, ddl_of = _build_partials(df, group_cols, key_col, p)
     # ONE checkpointed finest level; every set merges from these blobs
     finest = _merge_level(partials, group_cols, ddl_of, p).localCheckpoint()
 

@@ -33,8 +33,9 @@ test_sketches merge laws), so a rolled-up level's registers are
 byte-identical to an HLL built directly over that slice. Tests pin
 this, not just the estimate bound.
 
-COUNT(DISTINCT) null semantics: null KEYS are excluded; null GROUP
-values are legal and kept (SQL groups by NULL). The ``lvl`` column
+COUNT(DISTINCT) null semantics: null KEYS don't count, but their group
+still emits (an all-null-key group surfaces with count 0, as SQL's
+GROUP BY does); null GROUP values are legal and kept. The ``lvl`` column
 (number of kept leading group columns, k..0) disambiguates a real NULL
 group value from a rolled-up marker NULL — same job as SQL
 GROUPING_ID.
@@ -50,37 +51,66 @@ from pyspark.sql import DataFrame, functions as F
 from cuckoo_filter_spark.sketches.hll import HLLSketch
 
 
-def _group_ddl(df: DataFrame, cols: list[str]) -> str:
-    return ", ".join(
-        f"{c} {df.schema[c].dataType.simpleString()}" for c in cols)
+def _validate_cols(group_cols: list[str], key_col: str, est_col: str,
+                   marker_col: str) -> None:
+    """Output-name collision guard: a group column named like an output
+    column would be silently overwritten (withColumn) or break the
+    partials DDL (duplicate 'blob')."""
+    reserved = {"blob", marker_col, est_col}
+    bad = reserved & set(group_cols)
+    if bad:
+        raise ValueError(
+            f"group columns {sorted(bad)} collide with output columns "
+            f"{sorted(reserved)}; rename them first")
+    if key_col in set(group_cols) | reserved:
+        raise ValueError(
+            f"key column {key_col!r} collides with a group/output column")
 
 
 def _partial_emitter(group_cols: list[str], key_col: str, p: int):
     """Per-(input-partition, finest-group) HLL partials. One dict of
     2^p-byte register arrays per task; no raw key crosses a partition
-    boundary."""
+    boundary. Null KEYS don't count (SQL COUNT(DISTINCT)) but their
+    group still emits — an all-null-key group must surface with an
+    EMPTY sketch (count 0), exactly like SQL's GROUP BY emits it."""
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sks: dict[tuple, HLLSketch] = {}
         order: list[tuple] = []  # deterministic emit order
         for pdf in batches:
-            keep = pdf[pdf[key_col].notna()]
-            if len(keep) == 0:
+            if len(pdf) == 0:
                 continue
-            for g, sub in keep.groupby(group_cols, dropna=False,
-                                       sort=False):
+            for g, sub in pdf.groupby(group_cols, dropna=False,
+                                      sort=False):
                 g = g if isinstance(g, tuple) else (g,)
                 sk = sks.get(g)
                 if sk is None:
                     sk = sks[g] = HLLSketch(p=p)
                     order.append(g)
-                sk.update(sub[key_col])
+                keys = sub[key_col]
+                keys = keys[keys.notna()]
+                if len(keys):
+                    sk.update(keys)
         out = {c: [g[i] for g in order]
                for i, c in enumerate(group_cols)}
         out["blob"] = [sks[g].to_bytes() for g in order]
         yield pd.DataFrame(out)
 
     return emit
+
+
+def _build_partials(df: DataFrame, group_cols: list[str], key_col: str,
+                    p: int) -> tuple[DataFrame, dict]:
+    """Shared phase-1: one mapInPandas pass on the NATURAL input
+    partitions (zero Exchange — pinned by plan_audit check 8) emitting
+    one blob per (partition, finest group). Returns (partials, ddl_of)."""
+    ddl_of = {c: f"{c} {df.schema[c].dataType.simpleString()}"
+              for c in group_cols}
+    gddl = ", ".join(ddl_of[c] for c in group_cols)
+    partials = df.select(*group_cols, key_col).mapInPandas(
+        _partial_emitter(group_cols, key_col, p),
+        f"{gddl}, blob binary")
+    return partials, ddl_of
 
 
 def _merge_level(blobs: DataFrame, keep_cols: list[str], ddl_of: dict,
@@ -142,14 +172,8 @@ def hll_rollup(
     """
     if not group_cols:
         raise ValueError("hll_rollup needs at least one group column")
-    spark = df.sparkSession
-    ddl_of = {c: f"{c} {df.schema[c].dataType.simpleString()}"
-              for c in group_cols}
-    gddl = ", ".join(ddl_of[c] for c in group_cols)
-
-    partials = df.select(*group_cols, key_col).mapInPandas(
-        _partial_emitter(group_cols, key_col, p),
-        f"{gddl}, blob binary")
+    _validate_cols(group_cols, key_col, est_col, "lvl")
+    partials, ddl_of = _build_partials(df, group_cols, key_col, p)
 
     est = _estimate_udf(p)
     levels = []

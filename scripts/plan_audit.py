@@ -23,6 +23,15 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def read_schema_cols(plan: str) -> list:
+    """Sorted column names of the plan's (first) parquet ReadSchema.
+    NOTE: splits on top-level commas only as long as no struct-typed
+    column is read — fine for the flat testdata schemas both callers
+    audit; harden here (not at call sites) if that changes."""
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    return sorted(c.split(":")[0] for c in rs.group(1).split(",")) if rs else []
+
+
 def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
@@ -84,8 +93,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     gd = grouped_distinct_count(docs, "lang", "text")
     p = plan_of(gd)
-    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
-    read_cols = sorted(c.split(":")[0] for c in rs.group(1).split(",")) if rs else []
+    read_cols = read_schema_cols(p)
     ok = (
         "MapInPandas" in p
         and read_cols == ["lang", "text"]
@@ -141,8 +149,7 @@ def main() -> None:
         _partial_emitter(["event_type"], "user_id", 12),
         "event_type string, blob binary")
     p = plan_of(partials)
-    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
-    read_cols = sorted(c.split(":")[0] for c in rs.group(1).split(",")) if rs else []
+    read_cols = read_schema_cols(p)
     ok = (
         "MapInPandas" in p
         and "Exchange" not in p

@@ -80,3 +80,23 @@ def test_empty_input_emits_only_grand_total(spark):
     got = hll_grouping_sets(df, ["g"], [["g"], []], "k", p=10).collect()
     assert [(r["g"], r["gid"], r["est_distinct"]) for r in got] == [
         (None, 1, 0.0)]
+
+
+def test_all_null_key_group_emits_zero(spark):
+    """SQL CUBE parity for a group whose EVERY key is NULL: the group
+    row must still surface (count 0) — COUNT(DISTINCT) skips null keys
+    but GROUP BY keeps the group (the r5 review repro)."""
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", "u2"), ("b", None)], "g string, k string")
+    got = {(r["g"], r["gid"]): r["est_distinct"]
+           for r in hll_cube(df, ["g"], "k", p=12).collect()}
+    assert set(got) == {("a", 0), ("b", 0), (None, 1)}
+    assert got[("b", 0)] == 0.0
+    assert got[("a", 0)] == pytest.approx(2, abs=0.1)
+    assert got[(None, 1)] == pytest.approx(2, abs=0.1)
+
+
+def test_output_name_collision_raises(spark, events):
+    with pytest.raises(ValueError, match="collide"):
+        hll_cube(events.withColumnRenamed("day", "gid"),
+                 ["event_type", "gid"], "user_id")

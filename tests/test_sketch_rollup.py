@@ -4,7 +4,8 @@ Pins (a) the merge-up law EXACTLY (a rolled-up level's registers are
 byte-identical to an HLL built directly over that slice — register max
 is associative/commutative/idempotent, the same law test_sketches pins
 for flat merges), (b) SQL ROLLUP shape parity (levels, NULL markers,
-null-key exclusion, null group values, empty-input grand total), and
+null keys don't count but their group still emits, null group values,
+empty-input grand total), and
 (c) the published error bound vs exact counts.
 """
 
@@ -27,16 +28,22 @@ def events(spark):
         for i in range(3000)
     ] + [
         (None, "2024-01-01", "u9999"),      # NULL group value (kept)
-        ("click", "2024-01-01", None),      # NULL key (excluded)
+        ("click", "2024-01-01", None),      # NULL key (doesn't count)
+        # group whose EVERY key is NULL: must emit with count 0, as
+        # SQL GROUP BY does (COUNT(DISTINCT) skips nulls, group stays)
+        ("purchase", "2024-01-05", None),
+        ("purchase", "2024-01-05", None),
     ]
     return spark.createDataFrame(
         rows, "event_type string, day string, user_id string")
 
 
 def _exact_rollup(events):
+    # no null-key pre-filter: countDistinct skips nulls on its own, and
+    # pre-filtering would DROP the all-null-key group SQL emits with 0
     return {
         (r["event_type"], r["day"], r["lvl"]): r["n"]
-        for r in events.where(F.col("user_id").isNotNull())
+        for r in events
         .rollup("event_type", "day")
         .agg(F.countDistinct("user_id").alias("n"),
              # lvl = number of kept leading cols, matching hll_rollup
@@ -52,8 +59,9 @@ def test_levels_bounds_and_sql_shape(spark, events):
             for r in got.collect()}
     exact = _exact_rollup(events)
     # identical rollup group set: levels, NULL markers, the real-NULL
-    # group value at lvl=2, and no phantom group from the NULL key
+    # group value at lvl=2, and the all-null-key group present with 0
     assert set(rows) == set(exact)
+    assert rows[("purchase", "2024-01-05", 2)] == 0.0
     tol = 4 * HLLSketch(p=12).relative_error()
     for k, n in exact.items():
         assert abs(rows[k] - n) <= max(n, 1) * tol, (k, rows[k], n)
@@ -99,3 +107,14 @@ def test_single_group_col_and_pandas_tuple_keys(spark):
     assert got[("a", 1)] == pytest.approx(7, abs=1)
     assert got[("b", 1)] == pytest.approx(13, abs=1)
     assert got[(None, 0)] == pytest.approx(20, abs=2)
+
+
+def test_output_name_collision_raises(spark, events):
+    # a group column named like an output column would be silently
+    # overwritten (withColumn) or break the partials DDL
+    for bad in ("lvl", "blob", "est_distinct"):
+        with pytest.raises(ValueError, match="collide"):
+            hll_rollup(events.withColumnRenamed("day", bad),
+                       ["event_type", bad], "user_id")
+    with pytest.raises(ValueError, match="collide"):
+        hll_rollup(events, ["event_type", "user_id"], "user_id")
