@@ -263,6 +263,43 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hash_split layout for the contract query — dict order defines the
+#: hash-space layout, shared by the Spark query and the DuckDB oracle.
+_SPLIT_LAYOUT = {"train": 0.8, "val": 0.1, "test": 0.1}
+#: hash_sample(fraction=0.3) boundary literal, embedded in the oracle.
+_SAMPLE_BOUND = format(int(0.3 * (1 << 32)), "08x")
+
+
+def _split_case_sql_oracle() -> str:
+    from cuckoo_filter_spark.operators.sampling import split_case_sql
+
+    return split_case_sql("doc_id", _SPLIT_LAYOUT, seed="r5")
+
+
+def q_hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test splitting + per-key sampling
+    (operators/sampling.py): every document gets a split label and an
+    in-sample flag from a hash of its key alone — no rand(), no row
+    ids — so retries, re-runs, and corpus growth never move a row
+    between splits (the eval-leakage guarantee a training pipeline
+    needs). The ORACLE for the split column is split_case_sql()'s own
+    emitted ANSI CASE, evaluated by DuckDB: row-for-row equality IS the
+    module's engine-portability contract. Pure projection — at 100 TB
+    both columns ride the scan inside WholeStageCodegen, zero shuffle
+    (the sample flag is recomputed as a projection here rather than
+    joining hash_sample's filtered output, which is the scale-correct
+    phrasing; hash_sample itself is pinned equal in pytest)."""
+    from cuckoo_filter_spark.operators.sampling import hash_split, sample_expr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id").isNotNull())
+    out = hash_split(docs, "doc_id", _SPLIT_LAYOUT, seed="r5")
+    return (
+        out.withColumn("in_sample", sample_expr("doc_id", 0.3, seed="z"))
+        .orderBy("doc_id")
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1031,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_workload": q_delete_workload,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "hash_split_assign": q_hash_split_assign,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1153,6 +1191,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT class_size, COUNT(*) AS n_classes
             FROM classes GROUP BY class_size ORDER BY class_size
+        """,
+        # the split CASE below is split_case_sql()'s OWN emitted SQL —
+        # the oracle runs the library's portability contract verbatim
+        "hash_split_assign": f"""
+            SELECT doc_id,
+                   {_split_case_sql_oracle()} AS split,
+                   substr(md5(CAST(doc_id AS VARCHAR) || 'z'), 1, 8)
+                       < '{_SAMPLE_BOUND}' AS in_sample
+            FROM documents
+            WHERE doc_id IS NOT NULL
+            ORDER BY doc_id
         """,
         "minhash_dedup": """
             WITH batch AS (

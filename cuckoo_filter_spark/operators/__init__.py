@@ -10,6 +10,12 @@ from cuckoo_filter_spark.operators.query import (
     cuckoo_semi_join,
     might_contain_udf,
 )
+from cuckoo_filter_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    sample_expr,
+    split_case_sql,
+)
 
 __all__ = [
     "CuckooBuild",
@@ -18,4 +24,8 @@ __all__ = [
     "might_contain_udf",
     "cuckoo_semi_join",
     "cuckoo_anti_join",
+    "hash_split",
+    "hash_sample",
+    "sample_expr",
+    "split_case_sql",
 ]

@@ -158,6 +158,29 @@ def main() -> None:
     sections.append(("hll_rollup partials: MapInPandas on natural "
                      "partitions, zero Exchange, pruned scan", ok, p))
 
+    # 9. hash_split + sample_expr: a PURE JVM projection — zero Exchange,
+    # zero Python eval, the md5/CASE stack inside WholeStageCodegen, scan
+    # pruned to the key column (the whole operator rides the scan for free
+    # at any scale)
+    from cuckoo_filter_spark.operators.sampling import hash_split, sample_expr
+
+    split = hash_split(
+        docs.select("doc_id"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed="r5",
+    ).withColumn("in_sample", sample_expr("doc_id", 0.3, seed="z"))
+    p = plan_of(split)
+    read_cols = read_schema_cols(p)
+    ok = (
+        "Exchange" not in p
+        and "InPandas" not in p
+        and "BatchEvalPython" not in p
+        # formatted-mode codegen marker (the * prefix / codegen id tag)
+        and "codegen id" in p
+        and read_cols == ["doc_id"]
+    )
+    sections.append(("hash_split/sample_expr: pure codegen projection, "
+                     "zero Exchange, zero Python, pruned scan", ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
