@@ -276,6 +276,54 @@ def _split_case_sql_oracle() -> str:
     return split_case_sql("doc_id", _SPLIT_LAYOUT, seed="r5")
 
 
+#: per-lang mixture rates for q_mixture_sample (unlisted langs get the
+#: default rate below) — both sides derive boundaries via _frac_hex.
+_MIXTURE_FRACS = {"en": 0.25, "zh": 0.9, "de": 0.6}
+_MIXTURE_DEFAULT = 0.4
+
+
+def _frac_hex(f: float) -> str:
+    """The sampling-module boundary literal (same formula as
+    sampling._SPACE usage) — shared by the Spark query's config and the
+    oracle SQL so they can never drift."""
+    return format(int(f * (1 << 32)), "08x")
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction (operators/sampling.py): stratified
+    per-lang keep rates (hit a target language mixture) + a per-row
+    QUALITY-weighted keep probability (longer docs more likely kept,
+    frac = min(1, n_chars/600)) — both as flag columns so the oracle
+    checks every decision, kept or not. Pure projection like
+    hash_split_assign: at 100 TB the whole mixture policy rides the
+    scan JVM-side. The oracle recomputes both rules from the documented
+    boundary formula (md5 hex-prefix vs printf('%08x') literals)."""
+    from cuckoo_filter_spark.operators.sampling import (
+        stratified_sample_expr,
+        weighted_sample_expr,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("doc_id").isNotNull())
+    )
+    qual = docs.withColumn(
+        "frac", F.least(F.lit(1.0), F.col("n_chars") / F.lit(600.0)))
+    return (
+        qual.select(
+            "doc_id",
+            "lang",
+            stratified_sample_expr(
+                "doc_id", "lang", _MIXTURE_FRACS, seed="mx",
+                default_fraction=_MIXTURE_DEFAULT).alias("in_mix"),
+            weighted_sample_expr("doc_id", "frac", seed="wq")
+            .alias("in_weighted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test splitting + per-key sampling
     (operators/sampling.py): every document gets a split label and an
@@ -1069,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "hash_split_assign": q_hash_split_assign,
+        "mixture_sample": q_mixture_sample,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1201,6 +1250,26 @@ def oracle_sql() -> dict[str, str]:
                        < '{_SAMPLE_BOUND}' AS in_sample
             FROM documents
             WHERE doc_id IS NOT NULL
+            ORDER BY doc_id
+        """,
+        "mixture_sample": f"""
+            SELECT doc_id, lang,
+                   CASE {' '.join(
+                       f"WHEN lang = '{k}' THEN h < '{_frac_hex(v)}'"
+                       for k, v in _MIXTURE_FRACS.items())}
+                        ELSE h < '{_frac_hex(_MIXTURE_DEFAULT)}'
+                   END AS in_mix,
+                   CASE WHEN frac >= 1.0 THEN doc_id IS NOT NULL
+                        WHEN frac <= 0.0 THEN FALSE
+                        ELSE hw < printf('%08x',
+                            CAST(floor(frac * 4294967296.0) AS BIGINT))
+                   END AS in_weighted
+            FROM (
+                SELECT doc_id, lang,
+                       substr(md5(CAST(doc_id AS VARCHAR) || 'mx'), 1, 8) AS h,
+                       substr(md5(CAST(doc_id AS VARCHAR) || 'wq'), 1, 8) AS hw,
+                       least(1.0, n_chars / 600.0) AS frac
+                FROM documents WHERE doc_id IS NOT NULL)
             ORDER BY doc_id
         """,
         "minhash_dedup": """

@@ -15,6 +15,8 @@ from cuckoo_filter_spark.operators.sampling import (
     hash_split,
     sample_expr,
     split_case_sql,
+    stratified_sample_expr,
+    weighted_sample_expr,
 )
 
 __all__ = [
@@ -28,4 +30,6 @@ __all__ = [
     "hash_sample",
     "sample_expr",
     "split_case_sql",
+    "stratified_sample_expr",
+    "weighted_sample_expr",
 ]

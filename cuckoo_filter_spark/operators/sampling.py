@@ -132,6 +132,73 @@ def hash_sample(
     return df.where(sample_expr(key_col, fraction, seed))
 
 
+def stratified_sample_expr(
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> Column:
+    """Per-stratum keep predicate — the mixture-weighting primitive for
+    training corpora (sample each lang/source at its own rate to hit a
+    target mixture). Same hash, different boundary per stratum, so it
+    stays a pure projection AND keeps the per-key guarantees: a key's
+    fate changes only if its stratum's fraction does, and samples stay
+    nested per stratum as fractions grow. Strata not listed get
+    ``default_fraction`` (0 = drop, the explicit-mixture default).
+    NULL keys / NULL strata at a 0 fraction yield NULL/False — both
+    fail a WHERE."""
+    for name, f in fractions.items():
+        if not (0.0 < f <= 1.0):
+            raise ValueError(f"stratum {name!r} fraction {f} not in (0, 1]")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(
+            f"default_fraction {default_fraction} not in [0, 1]")
+    h = _hex_prefix(key_col, seed)
+
+    def keep(f: float) -> Column:
+        if f == 0.0:
+            return F.lit(False)
+        if f == 1.0:
+            return F.col(key_col).isNotNull()
+        return h < F.lit(format(int(f * _SPACE), "08x"))
+
+    expr = None
+    for name, f in fractions.items():
+        cond = F.col(strata_col) == F.lit(name)
+        expr = F.when(cond, keep(f)) if expr is None else expr.when(
+            cond, keep(f))
+    if expr is None:
+        return keep(default_fraction)
+    return expr.otherwise(keep(default_fraction))
+
+
+def weighted_sample_expr(
+    key_col: str,
+    fraction_col: str,
+    seed: str = "",
+) -> Column:
+    """Keep predicate with a PER-ROW probability column (e.g. a quality
+    score mapped to [0, 1]): row kept iff hash < its own boundary —
+    quality-weighted corpus downsampling as a pure projection. Still
+    key-deterministic: identical (key, fraction) rows always agree, and
+    raising a row's fraction can only add it (nested in the fraction).
+    Fractions ≥1 always keep (non-NULL keys), ≤0 never; NULL fraction
+    or NULL key yields NULL (dropped by WHERE). The boundary is
+    ``lpad(hex(floor(fraction * 2^32)), 8, '0')`` — recompute it in any
+    engine with printf('%08x', ...) for the same portability contract
+    split_case_sql gives fixed splits."""
+    frac = F.col(fraction_col)
+    bound = F.lpad(
+        F.lower(F.hex(F.floor(frac * F.lit(float(_SPACE))).cast("bigint"))),
+        8, "0")
+    return (
+        F.when(frac >= 1.0, F.col(key_col).isNotNull())
+        .when(frac <= 0.0, F.lit(False))
+        .otherwise(_hex_prefix(key_col, seed) < bound)
+    )
+
+
 def split_case_sql(key_expr: str, splits: dict[str, float],
                    seed: str = "") -> str:
     """The ANSI-SQL CASE expression computing the IDENTICAL assignment

@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from cuckoo_filter_spark.operators.sampling import (
     hash_sample,
     hash_split,
+    sample_expr,
     split_case_sql,
+    stratified_sample_expr,
+    weighted_sample_expr,
 )
 
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -89,6 +92,85 @@ def test_hash_sample_is_subset_consistent_and_sized(spark, docs):
     assert kept.join(bigger, "doc_id", "left_anti").count() == 0
 
 
+def test_stratified_matches_per_stratum_hash_sample(spark, docs):
+    """Each stratum's kept set is EXACTLY hash_sample at that stratum's
+    fraction (same key hash, same seed) — the consistency property that
+    makes mixtures composable with plain samples. Unknown strata follow
+    default_fraction."""
+    strat = docs.withColumn(
+        "src", F.when(F.col("doc_id") % 3 == 0, "a")
+        .when(F.col("doc_id") % 3 == 1, "b").otherwise("c"))
+    fracs = {"a": 0.2, "b": 0.7}
+    kept = strat.where(stratified_sample_expr(
+        "doc_id", "src", fracs, seed="m"))
+    assert kept.where(F.col("src") == "c").count() == 0  # default 0
+    for s, f in fracs.items():
+        got = sorted(r["doc_id"] for r in
+                     kept.where(F.col("src") == s).collect())
+        want = sorted(r["doc_id"] for r in hash_sample(
+            strat.where(F.col("src") == s), "doc_id", f, seed="m")
+            .collect())
+        assert got == want and len(got) > 0
+    # default_fraction routes unknown strata through the same rule
+    kept_d = strat.where(stratified_sample_expr(
+        "doc_id", "src", fracs, seed="m", default_fraction=1.0))
+    assert (kept_d.where(F.col("src") == "c").count()
+            == strat.where((F.col("src") == "c")
+                           & F.col("doc_id").isNotNull()).count())
+
+
+def test_weighted_constant_equals_sample_expr_and_edges(spark, docs):
+    """A constant fraction column reproduces sample_expr exactly;
+    fraction >=1 keeps every non-NULL key, <=0 and NULL keep nothing;
+    raising a row's fraction never evicts it (nested in the fraction)."""
+    w = docs.withColumn("frac", F.lit(0.3))
+    a = sorted(r["doc_id"] for r in w.where(
+        weighted_sample_expr("doc_id", "frac", seed="z")).collect())
+    b = sorted(r["doc_id"] for r in w.where(
+        sample_expr("doc_id", 0.3, seed="z")).collect())
+    assert a == b and 0 < len(a) < 5000
+    edges = docs.withColumn(
+        "frac", F.when(F.col("doc_id") % 4 == 0, F.lit(1.5))
+        .when(F.col("doc_id") % 4 == 1, F.lit(0.0))
+        .when(F.col("doc_id") % 4 == 2, F.lit(None).cast("double"))
+        .otherwise(F.lit(0.5)))
+    kept = edges.where(weighted_sample_expr("doc_id", "frac"))
+    got = {r["doc_id"] % 4 for r in kept.collect()}
+    assert 0 in got and 1 not in got and 2 not in got
+    assert kept.where(F.col("doc_id") % 4 == 0).count() == 1250  # all
+    # monotone: kept at frac stays kept at 2*frac
+    low = docs.withColumn("frac", F.lit(0.2))
+    high = docs.withColumn("frac", F.lit(0.4))
+    kl = low.where(weighted_sample_expr("doc_id", "frac", seed="w"))
+    kh = high.where(weighted_sample_expr("doc_id", "frac", seed="w"))
+    assert kl.join(kh, "doc_id", "left_anti").count() == 0
+
+
+def test_weighted_duckdb_parity(spark, docs):
+    """The weighted boundary (lpad(hex(floor(frac*2^32)),8,'0')) is
+    engine-portable: DuckDB's printf('%08x', ...) recomputes the exact
+    keep decision for a data-derived fraction column."""
+    w = (docs.where(F.col("doc_id").isNotNull())
+         .withColumn("frac", (F.col("doc_id") % 100) / 100.0))
+    got = (w.withColumn("keep", weighted_sample_expr("doc_id", "frac",
+                                                     seed="q"))
+           .select("doc_id", "keep").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("w", got[["doc_id"]])
+    oracle = con.sql("""
+        SELECT doc_id,
+          CASE WHEN frac >= 1.0 THEN doc_id IS NOT NULL
+               WHEN frac <= 0.0 THEN FALSE
+               ELSE substr(md5(CAST(doc_id AS VARCHAR) || 'q'), 1, 8)
+                    < printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT))
+          END AS keep
+        FROM (SELECT doc_id, (doc_id % 100) / 100.0 AS frac FROM w)
+        ORDER BY doc_id
+    """).df()
+    assert got.equals(oracle)
+
+
 def test_validation(spark, docs):
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
@@ -100,3 +182,8 @@ def test_validation(spark, docs):
         hash_split(docs.withColumn("split", F.lit("x")), "doc_id", SPLITS)
     with pytest.raises(ValueError, match="hash resolution"):
         hash_split(docs, "doc_id", {"a": 1e-12, "b": 1 - 1e-12})
+    with pytest.raises(ValueError, match="not in"):
+        stratified_sample_expr("doc_id", "src", {"a": 0.0})
+    with pytest.raises(ValueError, match="default_fraction"):
+        stratified_sample_expr("doc_id", "src", {"a": 0.5},
+                               default_fraction=1.5)
