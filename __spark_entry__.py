@@ -348,6 +348,51 @@ def q_hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set algebra (sketches/theta.py): distinct
+    custkeys behind two predicates (high-value orders vs 'F'-status
+    orders) sketched in ONE scan via pre-projected when(cond, key)
+    columns, then |A|, |B|, |A∪B|, |A∩B|, |A\\B| from sketch set
+    algebra — the intersections HLL cannot estimate. k=4096 exceeds
+    both cardinalities at oracle scale, so the sketches are in EXACT
+    mode (theta untrimmed ⇒ every distinct hash retained) and the
+    DuckDB oracle checks strict equality; pytest pins the published
+    error bounds in estimation mode (k ≪ n). At 100 TB: one pruned
+    scan, one ≤32 KB blob per (partition, predicate), zero raw-key
+    shuffle — vs three exact distinct-join queries for the same five
+    numbers."""
+    from cuckoo_filter_spark.sketches.theta import (
+        build_theta_sketches,
+        theta_a_not_b,
+        theta_intersect,
+        theta_union,
+    )
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    flagged = orders.select(
+        F.when(F.col("o_totalprice") > 250000, F.col("o_custkey"))
+        .alias("a_key"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        .alias("b_key"),
+    )
+    (a, b), _metrics = build_theta_sketches(flagged, ["a_key", "b_key"],
+                                            k=4096)
+    exact = not (a.is_estimation_mode() or b.is_estimation_mode())
+    row = [(
+        int(round(a.estimate())),
+        int(round(b.estimate())),
+        int(round(theta_union(a, b).estimate())),
+        int(round(theta_intersect(a, b).estimate())),
+        int(round(theta_a_not_b(a, b).estimate())),
+        exact,
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_a bigint, n_b bigint, n_union bigint, n_intersect bigint, "
+        "n_a_not_b bigint, exact_mode boolean",
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1118,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "hash_split_assign": q_hash_split_assign,
         "mixture_sample": q_mixture_sample,
+        "theta_set_ops": q_theta_set_ops,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1271,6 +1317,23 @@ def oracle_sql() -> dict[str, str]:
                        least(1.0, n_chars / 600.0) AS frac
                 FROM documents WHERE doc_id IS NOT NULL)
             ORDER BY doc_id
+        """,
+        # k=4096 > both cardinalities at sf0.01 -> theta sketches are in
+        # exact mode, so strict equality (not bound booleans) is checked
+        "theta_set_ops": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_totalprice > 250000 AND o_custkey IS NOT NULL),
+                 b AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL)
+            SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                   (SELECT COUNT(*) FROM b) AS n_b,
+                   (SELECT COUNT(*) FROM
+                        (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+                   (SELECT COUNT(*) FROM
+                        (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersect,
+                   (SELECT COUNT(*) FROM
+                        (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_a_not_b,
+                   TRUE AS exact_mode
         """,
         "minhash_dedup": """
             WITH batch AS (

@@ -207,6 +207,13 @@ def split_case_sql(key_expr: str, splits: dict[str, float],
     library (the portability contract the module docstring promises)."""
     named = list(splits.items())
     _validate_fractions(named)
+    for text in (seed, *(n for n, _ in named)):
+        if "'" in text:
+            raise ValueError(
+                f"{text!r} contains a single quote — it would corrupt "
+                f"the emitted SQL literal")
+    if len({n for n, _ in named}) != len(named):
+        raise ValueError("duplicate split labels")
     key = f"CAST({key_expr} AS VARCHAR)"
     if seed:
         key = f"{key} || '{seed}'"

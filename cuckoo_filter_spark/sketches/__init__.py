@@ -1,7 +1,8 @@
 """Companion mergeable sketches (north_rule): Bloom, HLL, count-min,
-t-digest, KLL — all sharing the cuckoo filter's vectorized Arrow-batch
-update path (metro64 over Arrow buffers → numpy batch update) and the
-same partial-build + associative-merge distribution pattern."""
+t-digest, KLL, theta — all sharing the cuckoo filter's vectorized
+Arrow-batch update path (metro64 over Arrow buffers → numpy batch
+update) and the same partial-build + associative-merge distribution
+pattern."""
 
 from cuckoo_filter_spark.sketches.base import build_sketch
 from cuckoo_filter_spark.sketches.bloom import BloomSketch
@@ -11,6 +12,14 @@ from cuckoo_filter_spark.sketches.hll import HLLSketch
 from cuckoo_filter_spark.sketches.kll import KLLSketch
 from cuckoo_filter_spark.sketches.rollup import hll_rollup
 from cuckoo_filter_spark.sketches.tdigest import TDigestSketch
+from cuckoo_filter_spark.sketches.theta import (
+    ThetaSketch,
+    build_theta_sketches,
+    theta_a_not_b,
+    theta_intersect,
+    theta_jaccard,
+    theta_union,
+)
 
 __all__ = [
     "build_sketch",
@@ -19,6 +28,12 @@ __all__ = [
     "CountMinSketch",
     "TDigestSketch",
     "KLLSketch",
+    "ThetaSketch",
+    "build_theta_sketches",
+    "theta_union",
+    "theta_intersect",
+    "theta_a_not_b",
+    "theta_jaccard",
     "hll_rollup",
     "hll_cube",
     "hll_grouping_sets",

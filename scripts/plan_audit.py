@@ -181,6 +181,40 @@ def main() -> None:
     sections.append(("hash_split/sample_expr: pure codegen projection, "
                      "zero Exchange, zero Python, pruned scan", ok, p))
 
+    # 10. theta flagged build: the when(cond,key) projection + MapInPandas
+    # partials sit directly on the pruned scan — zero Exchange, both
+    # predicate columns derived from a single pass over orders
+    ordersf = spark.read.parquet(f"{SF}/orders.parquet").where(
+        F.col("o_custkey").isNotNull())
+    flagged = ordersf.select(
+        F.when(F.col("o_totalprice") > 250000, F.col("o_custkey"))
+        .alias("a_key"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        .alias("b_key"))
+    from cuckoo_filter_spark.sketches.theta import ThetaSketch
+
+    def _theta_partial(batches):
+        import pandas as pd
+        sks = [ThetaSketch(k=64), ThetaSketch(k=64)]
+        for pdf in batches:
+            for i, c in enumerate(("a_key", "b_key")):
+                v = pdf[c].dropna()
+                if len(v):
+                    sks[i].update(v.astype("int64"))
+        yield pd.DataFrame({"sketch_id": [0, 1],
+                            "blob": [s.to_bytes() for s in sks]})
+
+    partials = flagged.mapInPandas(_theta_partial, "sketch_id int, blob binary")
+    p = plan_of(partials)
+    read_cols = read_schema_cols(p)
+    ok = (
+        "MapInPandas" in p
+        and "Exchange" not in p
+        and read_cols == ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    sections.append(("theta flagged build: one pruned scan feeds both "
+                     "predicate sketches, MapInPandas, zero Exchange", ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")

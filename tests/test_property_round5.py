@@ -69,6 +69,27 @@ def test_hll_merge_equals_union_build(a, b):
 
 @given(_keys, _keys)
 @settings(max_examples=40, deadline=None)
+def test_theta_merge_equals_union_build(a, b):
+    """Theta/KMV: merge-of-partials is BYTE-identical to a single-shot
+    build over the union — the order-independence invariant (retained =
+    k smallest distinct hashes) under arbitrary adversarial keys,
+    including a tiny k forcing estimation mode."""
+    from cuckoo_filter_spark.sketches.theta import ThetaSketch
+
+    def build(keys):
+        sk = ThetaSketch(k=16)
+        if keys:
+            sk.update(pd.Series(keys))
+        return sk
+
+    merged = build(a).merge(build(b))
+    union = build(a + b)
+    assert merged.to_bytes() == union.to_bytes()
+    assert merged.estimate() == union.estimate()
+
+
+@given(_keys, _keys)
+@settings(max_examples=40, deadline=None)
 def test_cms_merge_equals_concat_build(a, b):
     def build(keys):
         sk = CountMinSketch(width=64, depth=3)
