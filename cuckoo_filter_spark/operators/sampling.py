@@ -28,6 +28,14 @@ NULL keys: :func:`hash_split` assigns them a NULL split (the caller
 decides their fate — dropping them silently into one split would skew
 it); :func:`hash_sample` drops them, matching SQL WHERE semantics where
 a NULL comparison never passes the filter.
+
+Key types: the rule hashes ``CAST(key AS STRING)``, so the
+cross-engine portability contract is guaranteed for string and
+integral keys (identical canonical text in every engine). Float,
+decimal, and timestamp keys render engine-dependent text — within
+Spark the assignment is still deterministic, but don't expect another
+engine to reproduce it; hash a stable string form of such keys
+instead.
 """
 
 from __future__ import annotations

@@ -130,6 +130,10 @@ class ThetaSketch:
         if data[:4] != _MAGIC:
             raise ValueError("not a theta sketch blob")
         k, theta_m1, n = struct.unpack_from("<IQI", data, 4)
+        if len(data) < 20 + 8 * n:
+            raise ValueError(
+                f"truncated theta sketch blob: header claims {n} values, "
+                f"payload holds {(len(data) - 20) // 8}")
         out = cls(k=k)
         out.theta = theta_m1 + 1
         out.values = np.frombuffer(data[20:20 + 8 * n], dtype="<u8").astype(
@@ -200,6 +204,8 @@ def build_theta_sketches(
     """
     from pyspark.sql import types as T
 
+    if not cols:
+        raise ValueError("build_theta_sketches needs at least one column")
     fields = {f.name: f.dataType for f in df.select(*cols).schema.fields}
     integral = tuple(
         isinstance(fields[c], (T.LongType, T.IntegerType,

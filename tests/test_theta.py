@@ -78,8 +78,12 @@ def test_k_mismatch_and_bad_blob_raise():
         theta_intersect(_sk(range(10), k=64), _sk(range(10), k=128))
     with pytest.raises(ValueError, match="not a theta sketch"):
         ThetaSketch.from_bytes(b"XXXX" + b"\0" * 16)
+    with pytest.raises(ValueError, match="truncated"):
+        ThetaSketch.from_bytes(_sk(range(100), k=64).to_bytes()[:-8])
     with pytest.raises(ValueError, match=">= 16"):
         ThetaSketch(k=4)
+    with pytest.raises(ValueError, match="at least one column"):
+        build_theta_sketches(None, [])
 
 
 def test_distributed_flagged_build_matches_local(spark):
