@@ -393,6 +393,42 @@ def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items (sketches/freq.py): users with >= 70
+    events, plus each one's error-event count, from TWO MG sketches
+    built in ONE scan via when(cond, key) subset columns
+    (build_mg_sketches — int-with-nulls identity restored to '402').
+    k=1024 exceeds the 150-user cardinality at oracle scale, so both
+    sketches are EXACT (offset == 0, counters == true counts) and the
+    DuckDB oracle checks strict equality vs GROUP BY/HAVING + FILTER;
+    pytest pins the estimation-mode bounds (counter <= f <= counter +
+    offset, offset <= n/(k+1)) on skewed data where k << distinct. At
+    100 TB: one pruned scan, one <= ~16 KB blob per (partition,
+    subset), zero raw-key shuffle — vs a full shuffle GROUP BY just to
+    find the heavy tail."""
+    from cuckoo_filter_spark.sketches.freq import build_mg_sketches
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    flagged = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.col("user_id"))
+        .alias("err_user"),
+    )
+    (all_sk, err_sk), _metrics = build_mg_sketches(
+        flagged, ["user_id", "err_user"], k=1024)
+    exact = all_sk.is_exact() and err_sk.is_exact()
+    rows = [
+        (int(user), int(n), int(err_sk.estimate(user)[0]), exact)
+        for user, n in sorted(all_sk.guaranteed_at_least(70).items(),
+                              key=lambda kv: int(kv[0]))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, n_events bigint, n_errors bigint, "
+        "exact_mode boolean",
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1164,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_assign": q_hash_split_assign,
         "mixture_sample": q_mixture_sample,
         "theta_set_ops": q_theta_set_ops,
+        "mg_frequent_users": q_mg_frequent_users,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1334,6 +1371,20 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM
                         (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_a_not_b,
                    TRUE AS exact_mode
+        """,
+        # k=1024 > the 150-user cardinality at sf0.01 -> both MG
+        # sketches are exact (offset 0), so strict equality is checked
+        "mg_frequent_users": """
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   COUNT(*) FILTER (WHERE event_type = 'error')
+                       AS n_errors,
+                   TRUE AS exact_mode
+            FROM events
+            WHERE user_id IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(*) >= 70
+            ORDER BY user_id
         """,
         "minhash_dedup": """
             WITH batch AS (

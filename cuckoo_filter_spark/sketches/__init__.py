@@ -8,6 +8,7 @@ from cuckoo_filter_spark.sketches.base import build_sketch
 from cuckoo_filter_spark.sketches.bloom import BloomSketch
 from cuckoo_filter_spark.sketches.countmin import CountMinSketch
 from cuckoo_filter_spark.sketches.cube import hll_cube, hll_grouping_sets
+from cuckoo_filter_spark.sketches.freq import MGSketch, build_mg_sketches
 from cuckoo_filter_spark.sketches.hll import HLLSketch
 from cuckoo_filter_spark.sketches.kll import KLLSketch
 from cuckoo_filter_spark.sketches.rollup import hll_rollup
@@ -28,6 +29,8 @@ __all__ = [
     "CountMinSketch",
     "TDigestSketch",
     "KLLSketch",
+    "MGSketch",
+    "build_mg_sketches",
     "ThetaSketch",
     "build_theta_sketches",
     "theta_union",

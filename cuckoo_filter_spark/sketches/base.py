@@ -66,6 +66,85 @@ def build_sketch(df, col: str, make_sketch: Callable[[], object], value_kind: st
     return merged, metrics
 
 
+def build_flagged_sketches(df, specs: list[tuple]):
+    """ONE scan -> one mergeable sketch per (col, make_sketch) spec,
+    NULLs excluded per column, schema-aware key identity.
+
+    The null exclusion is the subset-composition hook: pre-project row
+    predicates as ``F.when(cond, key_col)`` columns and a single pass
+    builds a sketch per SUBSET without re-scanning per predicate (same
+    pattern as theta.build_theta_sketches; this is the generic version
+    for any str-identity sketch). Integral Spark columns are restored
+    to int64 even when NULLs force pandas to a float dtype, so key
+    identity stays '402' (the CAST(x AS VARCHAR) convention), never
+    '402.0' — values must fit float64's 2^53 integer range on
+    int-with-nulls columns, true for any id column this library
+    targets.
+
+    Scale shape: per-partition partials in mapInPandas, one small blob
+    row per (partition, sketch) collected, driver reduce — zero raw-key
+    shuffle. Returns ([sketch per spec], metrics rows with per-sketch
+    non-null counts).
+    """
+    from pyspark.sql import types as T
+
+    if not specs:
+        raise ValueError("build_flagged_sketches needs at least one spec")
+    cols = [c for c, _ in specs]
+    # project each column once even when several specs share it (a
+    # duplicated name would make pdf[c] a frame, not a Series)
+    sel = list(dict.fromkeys(cols))
+    fields = {f.name: f.dataType for f in df.select(*sel).schema.fields}
+    integral = tuple(
+        isinstance(fields[c], (T.LongType, T.IntegerType,
+                               T.ShortType, T.ByteType))
+        for c in cols
+    )
+    schema = ("partition_id int, sketch_id int, rows bigint, "
+              "wall_ms double, blob binary")
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        sks = [make() for _, make in specs]
+        counts = [0] * len(specs)
+        t0 = time.perf_counter()
+        for pdf in batches:
+            for i, c in enumerate(cols):
+                vals = pdf[c].dropna()
+                if len(vals) == 0:
+                    continue
+                counts[i] += len(vals)
+                if integral[i]:
+                    vals = vals.astype("int64")
+                sks[i].update(vals)
+        wall = (time.perf_counter() - t0) * 1000.0
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid] * len(sks),
+                "sketch_id": list(range(len(sks))),
+                "rows": counts,
+                "wall_ms": [wall] * len(sks),
+                "blob": [sk.to_bytes() for sk in sks],
+            }
+        )
+
+    rows = df.select(*sel).mapInPandas(partial, schema).collect()
+    metrics = [
+        {"partition_id": r["partition_id"], "sketch_id": r["sketch_id"],
+         "rows": r["rows"], "wall_ms": r["wall_ms"]}
+        for r in rows
+    ]
+    merged = []
+    for sid, (_, make) in enumerate(specs):
+        proto = make()
+        parts = (type(proto).from_bytes(bytes(r["blob"])) for r in rows
+                 if r["sketch_id"] == sid and r["rows"] > 0)
+        merged.append(reduce(lambda a, b: a.merge(b), parts, proto))
+    return merged, metrics
+
+
 def build_sketches(df, specs: list[tuple]):
     """Build SEVERAL mergeable sketches in ONE scan (one mapInPandas
     pass; one small blob row per (partition, sketch)).
