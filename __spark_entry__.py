@@ -429,6 +429,23 @@ def q_mg_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Misra-Gries top-N (sketches/freq.py grouped_mg_topk):
+    top-5 users per event_type. Two-phase mergeable shape — per
+    (partition, group) MG partials on NATURAL partitions (hot groups
+    never funnel), then a blob-only shuffle + per-group merge; zero
+    raw (group, item) shuffle. k=1024 exceeds the 150-user cardinality
+    at oracle scale ⇒ every group's sketch is EXACT ⇒ the output IS
+    the true top-5 with the (n desc, item asc) tie-break, checked
+    strictly vs the SQL ROW_NUMBER form; pytest pins estimation-mode
+    bounds at k=16 on zipf-ish groups."""
+    from cuckoo_filter_spark.sketches.freq import grouped_mg_topk
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    out = grouped_mg_topk(ev, "event_type", "user_id", k=1024, top_n=5)
+    return out.orderBy("event_type", F.desc("freq_lo"), "item")
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1201,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "theta_set_ops": q_theta_set_ops,
         "mg_frequent_users": q_mg_frequent_users,
+        "mg_group_topn": q_mg_group_topn,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1385,6 +1403,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING COUNT(*) >= 70
             ORDER BY user_id
+        """,
+        # k=1024 > per-group user cardinality at sf0.01 -> every
+        # group's MG sketch is exact; the (n desc, item asc) tie-break
+        # matches grouped_mg_topk's top_k ordering exactly
+        "mg_group_topn": """
+            SELECT event_type, item, n AS freq_lo, n AS freq_hi,
+                   TRUE AS exact_mode
+            FROM (
+                SELECT event_type,
+                       CAST(user_id AS VARCHAR) AS item,
+                       COUNT(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY COUNT(*) DESC,
+                                    CAST(user_id AS VARCHAR)) AS rn
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY event_type, user_id)
+            WHERE rn <= 5
+            ORDER BY event_type, freq_lo DESC, item
         """,
         "minhash_dedup": """
             WITH batch AS (

@@ -8,7 +8,11 @@ from cuckoo_filter_spark.sketches.base import build_sketch
 from cuckoo_filter_spark.sketches.bloom import BloomSketch
 from cuckoo_filter_spark.sketches.countmin import CountMinSketch
 from cuckoo_filter_spark.sketches.cube import hll_cube, hll_grouping_sets
-from cuckoo_filter_spark.sketches.freq import MGSketch, build_mg_sketches
+from cuckoo_filter_spark.sketches.freq import (
+    MGSketch,
+    build_mg_sketches,
+    grouped_mg_topk,
+)
 from cuckoo_filter_spark.sketches.hll import HLLSketch
 from cuckoo_filter_spark.sketches.kll import KLLSketch
 from cuckoo_filter_spark.sketches.rollup import hll_rollup
@@ -31,6 +35,7 @@ __all__ = [
     "KLLSketch",
     "MGSketch",
     "build_mg_sketches",
+    "grouped_mg_topk",
     "ThetaSketch",
     "build_theta_sketches",
     "theta_union",

@@ -215,6 +215,25 @@ def main() -> None:
     sections.append(("theta flagged build: one pruned scan feeds both "
                      "predicate sketches, MapInPandas, zero Exchange", ok, p))
 
+    # 11. grouped MG top-N: phase-1 partials on NATURAL partitions (the
+    # only Exchange in the whole plan is the tiny per-group BLOB shuffle
+    # feeding the applyInPandas merge — raw (group, item) rows never
+    # shuffle), scan pruned to the two columns
+    from cuckoo_filter_spark.sketches.freq import grouped_mg_topk
+
+    topn = grouped_mg_topk(ev, "event_type", "user_id", k=64, top_n=5)
+    p = plan_of(topn)
+    read_cols = read_schema_cols(p)
+    ok = (
+        "MapInPandas" in p
+        and "FlatMapGroupsInPandas" in p
+        and len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and "BroadcastExchange" not in p
+        and read_cols == ["event_type", "user_id"]
+    )
+    sections.append(("grouped MG top-N: partials on natural partitions, "
+                     "ONE blob-only Exchange, pruned scan", ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")

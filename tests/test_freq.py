@@ -148,6 +148,75 @@ def test_flagged_build_int_identity_and_subsets(spark):
     assert {m["sketch_id"] for m in metrics} == {0, 1}
 
 
+def test_grouped_mg_topk_exact_matches_groupby(spark):
+    """Exact regime (distinct items < k per group): output == the true
+    per-group top-N with (n desc, item asc) tie-break; NULL groups and
+    NULL items excluded; int items keep '402' identity."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.sketches.freq import grouped_mg_topk
+
+    df = spark.range(0, 12_000, 1, 8).select(
+        F.when(F.col("id") % 500 != 0, (F.col("id") % 3).cast("string"))
+        .alias("g"),
+        F.when(F.col("id") % 7 != 0, F.col("id") % 20).alias("item"),
+    )
+    out = grouped_mg_topk(df, "g", "item", k=64, top_n=4).collect()
+    truth = {(r["g"], str(r["item"])): r["n"] for r in
+             df.where(F.col("g").isNotNull() & F.col("item").isNotNull())
+             .groupBy("g", "item").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    by_group: dict = {}
+    for (g, item), n in truth.items():
+        by_group.setdefault(g, []).append((item, n))
+    assert {r["g"] for r in out} == set(by_group)
+    for g, pairs in by_group.items():
+        want = sorted(pairs, key=lambda p: (-p[1], p[0]))[:4]
+        got = sorted(
+            [(r["item"], r["freq_lo"]) for r in out if r["g"] == g],
+            key=lambda p: (-p[1], p[0]))
+        assert got == want, (g, got, want)
+    assert all(r["exact_mode"] and r["freq_lo"] == r["freq_hi"]
+               for r in out)
+    assert not any("." in r["item"] for r in out)  # int identity
+
+
+def test_grouped_mg_topk_estimation_bounds(spark):
+    """Estimation regime (k << distinct per group): every emitted
+    (freq_lo, freq_hi) brackets the true count; at most top_n rows per
+    group; heavy items (f > offset budget n/(k+1)) are present."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.sketches.freq import grouped_mg_topk
+
+    # per group: item i in 0..199 appears (5000 // (i+1)) times (zipf-ish)
+    df = spark.range(0, 200, 1, 4).select(
+        F.explode(F.array(*[F.lit(g) for g in ("a", "b")])).alias("g"),
+        F.col("id").alias("rank"),
+    ).select(
+        "g", F.explode(F.sequence(
+            F.lit(1), (F.lit(5000) / (F.col("rank") + 1)).cast("int")))
+        .alias("copy"),
+        F.concat(F.lit("i"), F.col("rank")).alias("item"),
+    ).select("g", "item").repartition(8)
+    truth = {(r["g"], r["item"]): r["n"] for r in
+             df.groupBy("g", "item").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    n_per_group = sum(n for (g, _), n in truth.items() if g == "a")
+    out = grouped_mg_topk(df, "g", "item", k=16, top_n=8).collect()
+    assert all(not r["exact_mode"] for r in out)
+    for g in ("a", "b"):
+        rows = [r for r in out if r["g"] == g]
+        assert 0 < len(rows) <= 8
+        for r in rows:
+            f = truth[(g, r["item"])]
+            assert r["freq_lo"] <= f <= r["freq_hi"], (r, f)
+        # the two heaviest items (5000, 2500) are far above n/(k+1)
+        assert n_per_group / 17 < 2500
+        got_items = {r["item"] for r in rows}
+        assert {"i0", "i1"} <= got_items
+
+
 def test_flagged_build_shared_column(spark):
     """Two specs over the SAME column (different k) — the projection
     must not duplicate the name (pdf[c] would be a frame)."""
