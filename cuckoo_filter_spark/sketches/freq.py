@@ -201,6 +201,9 @@ def grouped_mg_topk(df, group_col: str, item_col: str, k: int = 256,
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    MGSketch(k=k)  # validate k on the driver, not in an executor task
+    if top_n < 1:
+        raise ValueError("grouped_mg_topk top_n must be >= 1")
     sel = df.select(group_col, item_col).where(F.col(group_col).isNotNull())
     integral = isinstance(
         sel.schema[item_col].dataType,

@@ -88,6 +88,68 @@ def test_theta_merge_equals_union_build(a, b):
     assert merged.estimate() == union.estimate()
 
 
+@given(st.lists(st.integers(0, 25), min_size=0, max_size=300),
+       st.lists(st.integers(0, 25), min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_mg_exact_mode_merge_order_independent(a, b):
+    """Misra-Gries below k distinct: counters are exact frequencies
+    and BOTH merge orders are byte-identical to the truth (no trim
+    ever fires, so the general MG order-dependence of the retained
+    set cannot arise — the regime the contract queries run in)."""
+    from collections import Counter
+
+    from cuckoo_filter_spark.sketches.freq import MGSketch
+
+    ia = [f"u{v}" for v in a]
+    ib = [f"u{v}" for v in b]
+    pa, pb = MGSketch(k=64), MGSketch(k=64)
+    pa.update(ia)
+    pb.update(ib)
+    m1 = MGSketch.from_bytes(pa.to_bytes()).merge(pb)
+    m2 = MGSketch.from_bytes(pb.to_bytes()).merge(pa)
+    assert m1.counters == dict(Counter(ia + ib)) == m2.counters
+    assert m1.to_bytes() == m2.to_bytes()
+    assert m1.is_exact() and m1.offset == 0
+
+
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=500),
+       st.integers(2, 10),
+       st.lists(st.integers(1, 100), min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_mg_bounds_hold_under_any_chunking(vals, k, cuts):
+    """Estimation mode under adversarial chunking: however the stream
+    is split into partials and merged, counter <= f <= counter +
+    offset for EVERY item, offset <= n/(k+1), and any f > offset is
+    retained — the bounds (not the retained set) are the contract."""
+    from collections import Counter
+    from functools import reduce
+
+    from cuckoo_filter_spark.sketches.freq import MGSketch
+
+    items = [f"u{v}" for v in vals]
+    truth = Counter(items)
+    parts, pos = [], 0
+    for c in cuts:
+        parts.append(items[pos:pos + c])
+        pos += c
+    parts.append(items[pos:])
+    partials = []
+    for p in parts:
+        s = MGSketch(k=k)
+        s.update(p)
+        partials.append(s)
+    sk = reduce(lambda x, y: x.merge(y), partials)
+    n = len(items)
+    assert sk.n_items == n
+    assert sk.offset <= n / (k + 1)
+    assert len(sk.counters) <= k
+    for item, f in truth.items():
+        lo, up = sk.estimate(item)
+        assert lo <= f <= up, (item, f, lo, up, sk.offset)
+        if f > sk.offset:
+            assert item in sk.counters
+
+
 @given(_keys, _keys)
 @settings(max_examples=40, deadline=None)
 def test_cms_merge_equals_concat_build(a, b):
