@@ -446,6 +446,108 @@ def q_mg_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", F.desc("freq_lo"), "item")
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/temporal.py sessionize /
+    session_stats): per-user sessions at a 1-day inactivity gap, rolled
+    up to per-user totals. The session boundary rule (strictly-greater-
+    than-gap starts a session; ties broken by event_id) is recomputed
+    verbatim by the DuckDB window oracle; every output column is a
+    bigint (integer micros — no float hashing hazard). At 100 TB: ONE
+    Exchange by user_id + one in-task external sort serves the lag, the
+    running sum, and the session aggregate — sessions never cross keys,
+    so no second shuffle; a pathologically hot user serializes into one
+    spillable task (detect via salting.detect_hot_keys upstream)."""
+    from cuckoo_filter_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    st = session_stats(ev, "user_id", "ts", 86400.0,
+                       order_cols=("event_id",))
+    return (
+        st.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("duration_us").alias("sum_duration_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py asof_join): every error event
+    attributed to the latest click by the same user at-or-before it
+    (backward, exact matches allowed), emitting the matched click's
+    epoch micros + the attribution lag — NULLs where no click precedes.
+    The union+window idiom: both sides shuffle ONCE by user_id, one
+    in-task sort, running last(ignorenulls) — no per-row range probe,
+    no BroadcastNestedLoop (the plan Spark would pick for a bare
+    range-correlated join), pinned by test_asof_single_exchange. The
+    DuckDB oracle recomputes the match as MAX(click ts <= error ts)
+    per row — tie-proof because only the matched TIMESTAMP is emitted."""
+    from cuckoo_filter_spark.operators.temporal import asof_join, ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    errs = (
+        ev.where(F.col("event_type") == "error")
+        .select("event_id", F.col("user_id").alias("uid"), "ts")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("uid"), F.col("ts").alias("cts"))
+    )
+    j = asof_join(errs, clicks, "uid", "ts", "cts",
+                  matched_ts_col="click_us")
+    err_us = ts_micros(j, "ts")
+    return (
+        j.select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            err_us.alias("err_us"),
+            "click_us",
+            (err_us - F.col("click_us")).alias("lag_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_range_join_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/temporal.py bucketed_range_join):
+    per error event, the number of clicks by the same user in the
+    preceding 2 days (bounds inclusive). Right rows land in ONE
+    2-day-wide time bucket, each left row explodes into at most TWO
+    buckets, and the range predicate is a residual on a plain (key,
+    bucket) equi-join — bounded 2x duplication instead of the O(|L|x|R|)
+    BroadcastNestedLoop Spark plans for a bare range condition; zeros
+    restored with a left join against the error frame. The DuckDB
+    oracle recomputes the count with an inclusive BETWEEN on epoch
+    micros."""
+    from cuckoo_filter_spark.operators.temporal import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errs = (
+        ev.where(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    )
+    pairs = bucketed_range_join(errs, clicks, "user_id", "ts", "ts",
+                                -172800.0, 0.0)
+    cnt = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("__n"))
+    return (
+        errs.join(cnt, "event_id", "left")
+        .select(
+            "event_id", "user_id",
+            F.coalesce(F.col("__n"), F.lit(0).cast("long"))
+            .alias("n_clicks"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1219,6 +1321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_set_ops": q_theta_set_ops,
         "mg_frequent_users": q_mg_frequent_users,
         "mg_group_topn": q_mg_group_topn,
+        "sessionize_events": q_sessionize_events,
+        "asof_attribution": q_asof_attribution,
+        "range_join_activity": q_range_join_activity,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1423,6 +1528,71 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY event_type, user_id)
             WHERE rn <= 5
             ORDER BY event_type, freq_lo DESC, item
+        """,
+        "sessionize_events": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            f AS (
+                SELECT user_id, event_id, us,
+                       CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                               ORDER BY us, event_id)
+                                 IS NULL
+                              OR us - lag(us) OVER (PARTITION BY user_id
+                                                    ORDER BY us, event_id)
+                                 > 86400000000
+                            THEN 1 ELSE 0 END AS ns
+                FROM e),
+            s AS (
+                SELECT user_id, us,
+                       SUM(ns) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                           AS session_idx
+                FROM f),
+            g AS (
+                SELECT user_id, session_idx, COUNT(*) AS n,
+                       MIN(us) AS mn, MAX(us) AS mx
+                FROM s GROUP BY user_id, session_idx)
+            SELECT user_id,
+                   COUNT(*) AS n_sessions,
+                   MAX(n) AS max_session_events,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(SUM(mx - mn) AS BIGINT) AS sum_duration_us
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "asof_attribution": """
+            WITH clk AS (
+                SELECT user_id, epoch_us(ts) AS us
+                FROM events WHERE event_type = 'click'
+                      AND user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT e.event_id, e.user_id,
+                   epoch_us(e.ts) AS err_us,
+                   (SELECT MAX(c.us) FROM clk c
+                    WHERE c.user_id = e.user_id
+                      AND c.us <= epoch_us(e.ts)) AS click_us,
+                   epoch_us(e.ts) - (SELECT MAX(c.us) FROM clk c
+                                     WHERE c.user_id = e.user_id
+                                       AND c.us <= epoch_us(e.ts))
+                       AS lag_us
+            FROM events e
+            WHERE e.event_type = 'error'
+              AND e.user_id IS NOT NULL AND e.ts IS NOT NULL
+            ORDER BY e.event_id
+        """,
+        "range_join_activity": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT COUNT(*) FROM events c
+                    WHERE c.user_id = e.user_id
+                      AND c.event_type = 'click'
+                      AND epoch_us(c.ts)
+                          BETWEEN epoch_us(e.ts) - 172800000000
+                              AND epoch_us(e.ts)) AS n_clicks
+            FROM events e
+            WHERE e.event_type = 'error'
+              AND e.user_id IS NOT NULL AND e.ts IS NOT NULL
+            ORDER BY e.event_id
         """,
         "minhash_dedup": """
             WITH batch AS (

@@ -234,6 +234,48 @@ def main() -> None:
     sections.append(("grouped MG top-N: partials on natural partitions, "
                      "ONE blob-only Exchange, pruned scan", ok, p))
 
+    # 12. as-of join: the union+window idiom — both sides shuffle ONCE
+    # by key (a single hashpartitioning Exchange feeding one Window/sort),
+    # and there is NO BroadcastNestedLoop/Cartesian (what Spark plans for
+    # a bare range-correlated join); scans pruned to the used columns
+    from cuckoo_filter_spark.operators.temporal import asof_join
+
+    errs = ev.where(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("uid"), "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("cts"))
+    aj = asof_join(errs, clicks, "uid", "ts", "cts")
+    p = plan_of(aj)
+    ok = (
+        len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and "Window" in p
+        and "BroadcastNestedLoop" not in p
+        and "CartesianProduct" not in p
+    )
+    sections.append(("asof join: union + ONE key Exchange + Window, "
+                     "no nested-loop range scan", ok, p))
+
+    # 13. bucketed range join: plain equi-join on (key, time-bucket)
+    # with the range predicate as a residual — explode duplicates each
+    # probe row at most 2x; NEVER a BroadcastNestedLoop/Cartesian
+    from cuckoo_filter_spark.operators.temporal import bucketed_range_join
+
+    rj = bucketed_range_join(
+        ev.where(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts"),
+        ev.where(F.col("event_type") == "click").select("user_id", "ts"),
+        "user_id", "ts", "ts", -172800.0, 0.0)
+    p = plan_of(rj)
+    ok = (
+        ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+         or "BroadcastHashJoin" in p)
+        and "Generate" in p  # the sequence/explode bucket expansion
+        and "BroadcastNestedLoop" not in p
+        and "CartesianProduct" not in p
+    )
+    sections.append(("bucketed range join: equi-join on (key, bucket) + "
+                     "residual range filter, bounded 2x explode", ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
