@@ -151,7 +151,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     micros (bigint, NULL when unmatched) — deterministic even when
     several right rows tie on (key, ts); which TIED row's *payload*
     wins is the last in right's storage order and is NOT guaranteed, so
-    deduplicate right on (key, ts) first if payload ties matter.
+    deduplicate right on (key, ts) first if payload ties matter. A
+    matched row's payload values are returned AS STORED, including
+    NULLs (ts and payload always come from the same right row — the
+    match rides in one struct internally).
 
     Plan — the union+window idiom, NOT a range join: both inputs are
     tagged and unioned, shuffled ONCE by key, sorted once in-task by
@@ -166,9 +169,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     missing = [c for c in payload_cols if c not in right.columns]
     if missing:
         raise ValueError(f"payload_cols not in right: {missing}")
-    internal = ("__us", "__side", "__r_us",
-                *[f"__p_{c}" for c in payload_cols],
-                *[f"__m_{c}" for c in payload_cols], "__m_us")
+    internal = ("__us", "__side", "__match", "__m")
     clash = [c for c in (*payload_cols, matched_ts_col, *internal)
              if c in left.columns]
     if clash:
@@ -182,22 +183,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     l_us = (ts_micros(left, left_ts) * sign).alias("__us")
     r_us = (ts_micros(right, right_ts) * sign).alias("__us")
 
-    pay_t = {c: right.schema[c].dataType for c in payload_cols}
+    # the whole candidate match rides in ONE struct (__match): the struct
+    # is non-null for every right row even when its payload FIELDS are
+    # null, so last(ignorenulls) always takes ts and payload from the
+    # SAME right row (per-column last() would skip a null payload and
+    # pair the matched ts with a stale earlier payload)
+    r_us_expr = ts_micros(right, right_ts) * sign
     lhs = (
         left.where(F.col(on).isNotNull() & F.col(left_ts).isNotNull())
-        .select("*", l_us, F.lit(1).alias("__side"),
-                F.lit(None).cast("long").alias("__r_us"),
-                *[F.lit(None).cast(pay_t[c]).alias(f"__p_{c}")
-                  for c in payload_cols])
+        .select("*", l_us, F.lit(1).alias("__side"))
+        .withColumn(
+            "__match",
+            F.lit(None).cast(T.StructType(
+                [T.StructField("us", T.LongType())]
+                + [T.StructField(c, right.schema[c].dataType)
+                   for c in payload_cols])),
+        )
     )
     rhs = (
         right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
-        .withColumn("__us_tmp", r_us)
         .select(F.col(on),
-                F.col("__us_tmp").alias("__us"),
+                r_us_expr.alias("__us"),
                 F.lit(0).alias("__side"),
-                F.col("__us_tmp").alias("__r_us"),
-                *[F.col(c).alias(f"__p_{c}") for c in payload_cols])
+                F.struct(r_us_expr.alias("us"),
+                         *[F.col(c) for c in payload_cols]).alias("__match"))
     )
     # null-fill lhs-only columns on rhs so unionByName lines up
     rhs = rhs.select(*[
@@ -213,24 +222,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     w = Window.partitionBy(on).orderBy(F.col("__us").asc(), side_order) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    matched = lhs.unionByName(rhs)
-    out_cols = [F.last("__r_us", ignorenulls=True).over(w).alias("__m_us")]
-    out_cols += [
-        F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-        for c in payload_cols
-    ]
-    matched = matched.select("*", *out_cols).where(F.col("__side") == 1)
+    matched = (
+        lhs.unionByName(rhs)
+        .select("*", F.last("__match", ignorenulls=True).over(w).alias("__m"))
+        .where(F.col("__side") == 1)
+    )
 
     within = F.lit(True)
     if tol_us is not None:
         # reversed axis flips the subtraction with it, so one rule serves
         # both directions: |left_ts - matched_ts| <= tolerance
-        within = (F.col("__us") - F.col("__m_us")) <= F.lit(tol_us)
-    keep = F.col("__m_us").isNotNull() & within
+        within = (F.col("__us") - F.col("__m.us")) <= F.lit(tol_us)
+    keep = F.col("__m").isNotNull() & within
     final = [
         *[F.col(c) for c in left.columns],
-        F.when(keep, F.col("__m_us") * sign).alias(matched_ts_col),
-        *[F.when(keep, F.col(f"__m_{c}")).alias(c) for c in payload_cols],
+        F.when(keep, F.col("__m.us") * sign).alias(matched_ts_col),
+        *[F.when(keep, F.col(f"__m.{c}")).alias(c) for c in payload_cols],
     ]
     return matched.select(*final)
 
@@ -291,6 +298,12 @@ def bucketed_range_join(left: DataFrame, right: DataFrame, on: str,
     )
     ren = {c: (c + suffix if c in left.columns else c)
            for c in right.columns}
+    if len(set(ren.values())) != len(ren):
+        dup = sorted({v for v in ren.values()
+                      if list(ren.values()).count(v) > 1})
+        raise ValueError(
+            f"bucketed_range_join suffix {suffix!r} makes right column "
+            f"names collide: {dup}; rename inputs or change suffix")
     rhs = rhs.select(
         *[F.col(c).alias(ren[c]) for c in right.columns],
         "right_us", "__bkt",

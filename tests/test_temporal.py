@@ -214,6 +214,42 @@ def test_asof_tolerance(spark):
     assert pd.isna(by[2])            # nearest is 105s away -> nulled
 
 
+def test_asof_null_payload_rides_with_its_own_row(spark):
+    """A matched right row whose payload is NULL must yield NULL — not a
+    stale payload from an earlier row (per-column last(ignorenulls)
+    would pair ts=t2 with t1's value; the struct carrier must not)."""
+    left = spark.createDataFrame([(1, "a", 300 * US)],
+                                 "event_id long, uid string, lus long")
+    right = spark.createDataFrame(
+        [("a", 100 * US, 5.0), ("a", 200 * US, None)],
+        "uid string, rus long, val double")
+    out = asof_join(left, right, "uid", "lus", "rus",
+                    payload_cols=("val",)).collect()[0]
+    assert out.asof_ts_us == 200 * US
+    assert out.val is None
+
+
+def test_asof_forward_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 100 * US), (2, "a", 200 * US)],
+        "event_id long, uid string, lus long")
+    right = spark.createDataFrame(
+        [("a", 104 * US), ("a", 260 * US)], "uid string, rus long")
+    out = asof_join(left, right, "uid", "lus", "rus",
+                    direction="forward", tolerance_seconds=10.0).toPandas()
+    by = dict(zip(out.event_id, out.asof_ts_us))
+    assert by[1] == 104 * US         # 4s ahead, within tolerance
+    assert pd.isna(by[2])            # nearest-after is 60s ahead -> nulled
+
+
+def test_range_join_suffix_collision_raises(spark):
+    left = spark.createDataFrame([(1, "a", 100)], "ts long, uid string, x long")
+    right = spark.createDataFrame([("a", 100, 1, 2)],
+                                  "uid string, ts long, x long, x_r long")
+    with pytest.raises(ValueError, match="collide"):
+        bucketed_range_join(left, right, "uid", "x", "ts", -1.0, 1.0)
+
+
 def test_asof_timestamp_ntz_inputs(spark, events):
     errs = events.where(F.col("event_type") == "error") \
         .select("event_id", "user_id", "ts")
