@@ -548,6 +548,25 @@ def q_range_join_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token packing (operators/packing.py): documents laid out
+    per language in doc_id order and cut into 2000-token bins without
+    splitting documents (boundary-cut packing — a straddling doc
+    belongs to the bin where its first token lands). The training-
+    sequence-construction op; deliberately a prefix-sum formulation
+    (ONE Exchange by lang + one sort, zero Python) rather than
+    sequential first-fit, so the DuckDB oracle recomputes the exact
+    same cumulative-sum rule; token counts share token_count_expr's
+    pinned SQL parity with token_stats."""
+    from cuckoo_filter_spark.functions.text import token_count_expr
+    from cuckoo_filter_spark.operators.packing import pack_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count_expr("text").alias("n_tokens"))
+    st = pack_stats(docs, "lang", "n_tokens", 2000, order_cols=("doc_id",))
+    return st.orderBy("lang", "bin_idx")
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1082,6 +1101,33 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (streaming/sessions.py): gap-based
+    sessions (1-day gap, 1-hour watermark) maintained in GroupState and
+    emitted EXACTLY ONCE when the watermark proves them closed
+    (end + gap < watermark — a later event would be >= watermark,
+    hence > gap past the session end). Sessions still open at drain end
+    are deliberately NOT emitted (the honest streaming contract). The
+    DuckDB oracle recomputes both the session derivation AND the
+    finalization rule: watermark = (max event ms) - 1 h, Spark's
+    ms-truncated event-time accounting. State is one (start, end,
+    count) triple per OPEN session — O(active keys), not O(events)."""
+    from cuckoo_filter_spark.streaming.sessions import streaming_sessionize
+
+    _ensure_package(spark)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = _stream_source(spark, sf_dir, "events").select(
+            F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        out = streaming_sessionize(stream, "user_id", "ts", 86400.0,
+                                   watermark="1 hour")
+        qn = _run_stream(out, "sessfin", "update")
+        return spark.table(qn).orderBy("user_id", "session_start_us")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-user estimate, oracle-checked via the reference's own
     bound-check protocol (cuckoofilter.go:226-244 asserts an FP bound the
@@ -1324,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "asof_attribution": q_asof_attribution,
         "range_join_activity": q_range_join_activity,
+        "pack_documents": q_pack_documents,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1344,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_dedup_users": q_streaming_dedup_users,
         "streaming_windowed_hll": q_streaming_windowed_hll,
+        "streaming_sessionize": q_streaming_sessionize,
         # approximate sketches, oracle-checked via deterministic bound
         # booleans (the sketches are deterministic given the data) plus
         # exact SQL-recomputable columns; pytest additionally pins the
@@ -1593,6 +1641,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_type = 'error'
               AND e.user_id IS NOT NULL AND e.ts IS NOT NULL
             ORDER BY e.event_id
+        """,
+        "streaming_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            wm AS (
+                -- Spark event-time accounting is ms-truncated:
+                -- watermark = floor(max_us/1000) ms - 1 h delay
+                SELECT ((MAX(us) // 1000) - 3600000) * 1000 AS wm_us
+                FROM e),
+            f AS (
+                SELECT user_id, event_id, us,
+                       CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                               ORDER BY us, event_id)
+                                 IS NULL
+                              OR us - lag(us) OVER (PARTITION BY user_id
+                                                    ORDER BY us, event_id)
+                                 > 86400000000
+                            THEN 1 ELSE 0 END AS ns
+                FROM e),
+            s AS (
+                SELECT user_id, us,
+                       SUM(ns) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                           AS session_idx
+                FROM f),
+            g AS (
+                SELECT user_id, session_idx, COUNT(*) AS n,
+                       MIN(us) AS mn, MAX(us) AS mx
+                FROM s GROUP BY user_id, session_idx)
+            SELECT user_id,
+                   mn AS session_start_us,
+                   mx AS session_end_us,
+                   CAST(n AS BIGINT) AS n_events
+            FROM g, wm
+            WHERE mx + 86400000000 < wm_us
+            ORDER BY user_id, session_start_us
+        """,
+        "pack_documents": """
+            WITH d AS (
+                SELECT lang, doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\\s+')) END
+                           AS n_tokens
+                FROM documents WHERE lang IS NOT NULL),
+            c AS (
+                SELECT lang, doc_id, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY lang
+                                           ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                           - n_tokens AS start_offset
+                FROM d)
+            SELECT lang,
+                   CAST(start_offset // 2000 AS BIGINT) AS bin_idx,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM c GROUP BY lang, bin_idx ORDER BY lang, bin_idx
         """,
         "minhash_dedup": """
             WITH batch AS (
