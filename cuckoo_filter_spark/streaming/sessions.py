@@ -78,18 +78,20 @@ def merge_session_state(
     c = np.concatenate(tc)
     order = np.argsort(s, kind="stable")
     s, e, c = s[order], e[order], c[order]
-    out_s: list[int] = []
-    out_e: list[int] = []
-    out_c: list[int] = []
-    for i in range(len(s)):
-        if out_s and int(s[i]) - out_e[-1] <= gap_us:
-            out_e[-1] = max(out_e[-1], int(e[i]))
-            out_c[-1] += int(c[i])
-        else:
-            out_s.append(int(s[i]))
-            out_e.append(int(e[i]))
-            out_c.append(int(c[i]))
-    return out_s, out_e, out_c
+    # vectorized sweep (a hot key may deliver millions of events per
+    # batch — a Python loop here would serialize seconds per key). The
+    # global running max of ends equals the session-local one: a new
+    # session's first interval starts (and hence ends) above every
+    # earlier end + gap, so the cummax resets upward at each boundary.
+    cummax_e = np.maximum.accumulate(e)
+    new = np.empty(len(s), dtype=bool)
+    new[0] = True
+    new[1:] = s[1:] - cummax_e[:-1] > gap_us
+    starts_idx = np.flatnonzero(new)
+    out_s = s[starts_idx]
+    out_e = np.maximum.reduceat(e, starts_idx)
+    out_c = np.add.reduceat(c, starts_idx)
+    return out_s.tolist(), out_e.tolist(), out_c.tolist()
 
 
 def finalize_sessions(

@@ -60,6 +60,46 @@ def test_merge_core_chunking_invariance():
     assert one == st
 
 
+def test_merge_core_matches_reference_loop():
+    """The vectorized cummax/reduceat sweep is byte-equal to the
+    obvious sequential merge on random event+state mixes (incl. wide
+    state intervals whose ends dominate later event times)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for trial in range(200):
+        gap = int(rng.integers(1, 50)) * US
+        n_ev = int(rng.integers(0, 40))
+        evs = sorted(int(v) * US for v in rng.integers(0, 300, n_ev))
+        n_st = int(rng.integers(0, 5))
+        st_s, st_e, st_c = [], [], []
+        cur = 0
+        for _ in range(n_st):
+            a = cur + int(rng.integers(0, 100)) * US
+            b = a + int(rng.integers(0, 200)) * US
+            st_s.append(a)
+            st_e.append(b)
+            st_c.append(int(rng.integers(1, 9)))
+            cur = b + gap + US  # state intervals are gap-disjoint
+        got = merge_session_state(
+            [pd.DataFrame({"us": evs})], "us", gap,
+            list(st_s), list(st_e), list(st_c))
+        # reference: sequential sweep
+        iv = sorted(
+            [(s, e, c) for s, e, c in zip(st_s, st_e, st_c)]
+            + [(v, v, 1) for v in evs])
+        ref_s, ref_e, ref_c = [], [], []
+        for s, e, c in iv:
+            if ref_s and s - ref_e[-1] <= gap:
+                ref_e[-1] = max(ref_e[-1], e)
+                ref_c[-1] += c
+            else:
+                ref_s.append(s)
+                ref_e.append(e)
+                ref_c.append(c)
+        assert got == (ref_s, ref_e, ref_c), (trial, gap, evs, st_s, st_e)
+
+
 def test_finalize_rule():
     gap = 10 * US
     final, keep = finalize_sessions(
