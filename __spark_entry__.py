@@ -567,6 +567,76 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.orderBy("lang", "bin_idx")
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): docs with
+    doc_id % 10 == 5 play the held-out benchmark; every other doc is
+    training data. A cuckoo filter built over the benchmark's distinct
+    word 8-grams prunes the (map-side, JVM-exploded) training grams,
+    and the broadcast verify join restores exactness — so the DuckDB
+    oracle can recompute the per-doc DISTINCT contaminated-gram counts
+    with a plain n-gram intersection. 8 docs hit at sf0.01 (the
+    corpus's genuine near-dup pairs straddling the id split)."""
+    from cuckoo_filter_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 5)
+    train = docs.where(F.col("doc_id") % 10 != 5)
+    return decontaminate(train, "doc_id", "text", bench, n=8).orderBy("doc_id")
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per-doc top word-bigram /
+    trigram occurrence counts (top_ngram_count_udf — per-doc map-side
+    Arrow UDF, zero shuffle) plus the integer-arithmetic decision rule
+    10*top2 >= n_tokens ("top bigram covers >= 20% of tokens"). The
+    oracle recomputes the counts via explode+GROUP BY+max and the same
+    rule — integers and booleans only, no float hashing hazard."""
+    from cuckoo_filter_spark.functions.text import (
+        token_count_expr,
+        top_ngram_count_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    top2 = top_ngram_count_udf(2)
+    top3 = top_ngram_count_udf(3)
+    n_tokens = token_count_expr("text")
+    out = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        top2(F.col("text")).alias("top2_count"),
+        top3(F.col("text")).alias("top3_count"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.lit(10) * F.col("top2_count") >= F.col("n_tokens"))
+        & (F.col("n_tokens") > 0),
+    ).orderBy("doc_id")
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global keep-first line dedup (operators/lines.py): documents are
+    reshaped into 10-token chunk "lines" (chunk_lines_expr — the corpus
+    has no natural newlines), then every repeated chunk keeps only its
+    first occurrence ordered by (doc_id, idx). Emits the docs that
+    changed, with removal counts and the rewritten text. The oracle
+    recomputes the identical chunking + row_number() keep-first rule;
+    equality proves the fp-candidates + byte-verify + indexed-filter
+    rewrite pipeline exact (57 docs / 151 chunks at sf0.01)."""
+    from cuckoo_filter_spark.operators.lines import (
+        chunk_lines_expr,
+        dedup_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunked = docs.select("doc_id", chunk_lines_expr("text", 10).alias("text"))
+    out = dedup_lines(chunked, "text", "doc_id")
+    return (
+        out.where(F.col("n_lines_removed") > 0)
+        .select("doc_id", "n_lines_removed", F.col("text").alias("new_text"))
+        .orderBy("doc_id")
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1371,6 +1441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "range_join_activity": q_range_join_activity,
         "pack_documents": q_pack_documents,
+        "decontaminate_docs": q_decontaminate_docs,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup_docs": q_line_dedup_docs,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1701,6 +1774,81 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
             FROM c GROUP BY lang, bin_idx ORDER BY lang, bin_idx
+        """,
+        "decontaminate_docs": """
+            WITH toks AS (SELECT doc_id,
+                                 string_split_regex(trim(text), '\\s+') AS w
+                          FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w)-7, 0)+1),
+                              i -> array_to_string(w[i:i+7], ' '))) AS gram
+                FROM toks
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 5),
+            train AS (SELECT DISTINCT doc_id, gram FROM grams
+                      WHERE doc_id % 10 <> 5)
+            SELECT t.doc_id, COUNT(*) AS hit_grams
+            FROM train t JOIN bench b USING (gram)
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "repetition_stats": """
+            WITH toks AS (SELECT doc_id,
+                                 string_split_regex(trim(text), '\\s+') AS w,
+                                 length(trim(text)) = 0 AS blank
+                          FROM documents),
+            g2 AS (SELECT doc_id,
+                          unnest(list_transform(range(1, greatest(len(w)-1, 0)+1),
+                                 i -> array_to_string(w[i:i+1], ' '))) AS gram
+                   FROM toks WHERE NOT blank),
+            g3 AS (SELECT doc_id,
+                          unnest(list_transform(range(1, greatest(len(w)-2, 0)+1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+                   FROM toks WHERE NOT blank),
+            c2 AS (SELECT doc_id, max(cnt) AS top2 FROM (
+                       SELECT doc_id, gram, COUNT(*) AS cnt
+                       FROM g2 GROUP BY 1, 2) GROUP BY 1),
+            c3 AS (SELECT doc_id, max(cnt) AS top3 FROM (
+                       SELECT doc_id, gram, COUNT(*) AS cnt
+                       FROM g3 GROUP BY 1, 2) GROUP BY 1),
+            base AS (SELECT doc_id,
+                            CASE WHEN blank THEN 0 ELSE len(w) END AS n_tokens
+                     FROM toks)
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   COALESCE(c2.top2, 0) AS top2_count,
+                   COALESCE(c3.top3, 0) AS top3_count,
+                   10 * COALESCE(c2.top2, 0) >= b.n_tokens
+                       AND b.n_tokens > 0 AS repetitive
+            FROM base b
+            LEFT JOIN c2 ON b.doc_id = c2.doc_id
+            LEFT JOIN c3 ON b.doc_id = c3.doc_id
+            ORDER BY b.doc_id
+        """,
+        "line_dedup_docs": """
+            WITH toks AS (SELECT doc_id,
+                                 string_split_regex(trim(text), '\\s+') AS w
+                          FROM documents),
+            segs AS (
+                SELECT doc_id, i AS idx,
+                       array_to_string(w[(i*10+1):(i*10+10)], ' ') AS seg
+                FROM toks, unnest(range(0, (len(w)+9)//10)) AS t(i)
+                WHERE length(trim(array_to_string(w[(i*10+1):(i*10+10)], ' ')))
+                      >= 1
+            ),
+            ranked AS (SELECT doc_id, idx, seg,
+                              row_number() OVER (PARTITION BY seg
+                                                 ORDER BY doc_id, idx) AS rn
+                       FROM segs),
+            agg AS (
+                SELECT doc_id,
+                       COUNT(*) FILTER (WHERE rn > 1) AS n_lines_removed,
+                       COALESCE(string_agg(seg, chr(10) ORDER BY idx)
+                                FILTER (WHERE rn = 1), '') AS new_text
+                FROM ranked GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines_removed, new_text FROM agg
+            WHERE n_lines_removed > 0 ORDER BY doc_id
         """,
         "minhash_dedup": """
             WITH batch AS (

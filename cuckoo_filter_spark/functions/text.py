@@ -160,6 +160,105 @@ def doc_fingerprint_udf():
     return fingerprint
 
 
+# ---------------------------------------------------------------------------
+# word n-grams + repetition signals (Gopher/C4-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def tokens_expr(col: str | Column) -> Column:
+    """Whitespace tokenization, JVM-side. Blank/NULL → empty array.
+    Matches DuckDB ``string_split_regex(trim(text), '\\s+')`` on
+    non-blank input (the oracle-parity contract for every consumer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def word_ngrams_expr(col: str | Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams, pure JVM (whole-stage
+    codegen; no shuffle, no Python). Docs with < n tokens → empty array.
+
+    This is the decontamination / repetition unit: at 100 TB the n-gram
+    expansion happens map-side inside the scan stage — only downstream
+    consumers decide what (if anything) shuffles."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens_expr(col)
+    # sequence(1, size-n+1) DESCENDS when size < n (Spark default step
+    # -1), so gate on size >= n explicitly.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(col: str | Column, line_sep: str = "\n") -> dict[str, Column]:
+    """Line-level repetition signals (Gopher-style), all JVM-side:
+
+    * ``n_lines`` / ``n_dup_lines`` — non-blank lines, and how many are
+      repeats of an earlier identical line within the doc.
+    * ``dup_line_frac`` — ``n_dup_lines / n_lines`` (0.0 when no lines).
+    * ``dup_line_char_frac`` — fraction of non-blank-line characters
+      sitting in repeated copies (chars beyond each line's first
+      occurrence).
+
+    Per-doc map-side expressions — zero shuffle at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.split(F.coalesce(c, F.lit("")), F.lit(line_sep), -1)
+    lines = F.filter(raw, lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    distinct_lines = F.array_distinct(lines)
+    n_distinct = F.size(distinct_lines)
+    chars_total = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    chars_distinct = F.aggregate(
+        distinct_lines, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    safe_lines = F.greatest(n_lines.cast("double"), F.lit(1.0))
+    safe_chars = F.greatest(chars_total.cast("double"), F.lit(1.0))
+    return {
+        "n_lines": n_lines.cast("bigint"),
+        "n_dup_lines": (n_lines - n_distinct).cast("bigint"),
+        "dup_line_frac": (n_lines - n_distinct).cast("double") / safe_lines,
+        "dup_line_char_frac": (chars_total - chars_distinct).cast("double") / safe_chars,
+    }
+
+
+def top_ngram_count_udf(n: int):
+    """Pandas UDF text → occurrence count of the doc's most frequent
+    word ``n``-gram (0 when the doc has < n tokens). The Gopher
+    "fraction of tokens in the top n-gram" numerator.
+
+    Deliberately a per-doc Arrow-batched UDF, NOT an explode+groupBy:
+    counting a doc's own n-grams is embarrassingly parallel map-side
+    work; exploding 10^12 docs' grams through a (doc_id, gram) shuffle
+    just to count within each doc would move ~n× the corpus through the
+    network for a result each task already holds locally."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    @pandas_udf("long")
+    def top_ngram_count(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for j, s in enumerate(texts.fillna("")):
+            toks = s.split()
+            if len(toks) < n:
+                continue
+            counts = Counter(zip(*(toks[i:] for i in range(n))))
+            out[j] = counts.most_common(1)[0][1]
+        return pd.Series(out)
+
+    return top_ngram_count
+
+
 def shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     """Per-doc arrays of k-gram (character shingle) hashes, vectorized:
     one metro64 pass over all shingles of the batch."""

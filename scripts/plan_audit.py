@@ -276,6 +276,61 @@ def main() -> None:
     sections.append(("bucketed range join: equi-join on (key, bucket) + "
                      "residual range filter, bounded 2x explode", ok, p))
 
+    # 14. decontamination: train-side gram explode + cuckoo probe are
+    # map-side (Generate + ArrowEvalPython before any Exchange on that
+    # branch); the exactness verify is a BROADCAST LeftSemi; the only
+    # non-broadcast Exchanges are the benchmark distinct and the final
+    # per-doc count (2 total) — the training corpus itself never shuffles
+    dec = em.q_decontaminate_docs(spark, SF)
+    p = plan_of(dec)
+    n_exch = len(re.findall(r"\(\d+\) Exchange", p))
+    ok = (
+        "BroadcastHashJoin" in p and "LeftSemi" in p
+        and "Generate" in p and "ArrowEvalPython" in p
+        and n_exch <= 3  # bench distinct + doc_id count + orderBy range
+        and "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    )
+    sections.append(("decontaminate: map-side gram explode + probe, "
+                     "broadcast verify, train corpus never shuffles", ok, p))
+
+    # 15. line dedup: both explodes are map-side Generates; repeated-fp
+    # set and removed-idx lists come back as BROADCAST joins; the
+    # keep-first Window runs only on the (tiny) candidate branch; doc
+    # text bodies cross no Exchange
+    from cuckoo_filter_spark.operators.lines import chunk_lines_expr, dedup_lines
+
+    docs01 = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", chunk_lines_expr("text", 10).alias("text"))
+    ld = dedup_lines(docs01, "text", "doc_id")
+    p = plan_of(ld)
+    n_exch = len(re.findall(r"\(\d+\) Exchange", p))
+    ok = (
+        p.count("BroadcastHashJoin") >= 2  # dup-fp semi + removed left
+        and "Window" in p and "Generate" in p
+        and n_exch <= 3  # fp count + window sort + removed-per-id agg
+        and "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    )
+    sections.append(("line dedup: map-side explodes, broadcast fp/removed "
+                     "joins, Window only on candidates", ok, p))
+
+    # 16. repetition signals: pure per-doc projection — ArrowEvalPython
+    # over a 2-column pruned scan, ZERO Exchange of any kind
+    from cuckoo_filter_spark.functions.text import (
+        token_count_expr, top_ngram_count_udf)
+
+    docs2 = spark.read.parquet(f"{SF}/documents.parquet")
+    rep = docs2.select(
+        "doc_id", token_count_expr("text").alias("n_tokens"),
+        top_ngram_count_udf(2)(F.col("text")).alias("top2_count"))
+    p = plan_of(rep)
+    ok = (
+        "ArrowEvalPython" in p
+        and "Exchange" not in p
+        and read_schema_cols(p) == ["doc_id", "text"]
+    )
+    sections.append(("repetition signals: zero-shuffle ArrowEvalPython "
+                     "projection, pruned scan", ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
