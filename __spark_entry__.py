@@ -637,6 +637,138 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/pii.py): a contact-card
+    text is synthesized per customer (planted-fixture pattern — every
+    row carries one email + one phone, k%3==0 rows a second email,
+    k%5!=0 rows an IPv4), then scanned with pii_count_exprs and
+    scrubbed with redact_pii. Patterns live in the Java∩RE2 regex
+    subset, so the oracle recomputes counts AND the redacted text with
+    the SAME pattern strings (emitted by pii_oracle_exprs — one source
+    of truth). n_residual pins redaction completeness: zero matches
+    survive their own scrub. Pure JVM projection — zero shuffle beyond
+    the final tiny aggregate."""
+    from cuckoo_filter_spark.functions.pii import pii_count_exprs, redact_pii
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = lambda x: x.cast("string")  # noqa: E731
+    email = F.concat(F.lit("user"), s(k), F.lit("@mail"), s(k % 7),
+                     F.lit(".example.org"))
+    alt = F.concat(F.lit(" or alt"), s(k), F.lit("@example.net"))
+    phone = F.concat(s(k % 90 + 10), F.lit("-"),
+                     F.lpad(s(k % 1000), 3, "0"), F.lit("-555-"),
+                     F.lpad(s(k % 10000), 4, "0"))
+    ip = F.concat(F.lit(" from 10."), s(k % 256), F.lit(".0."), s(k % 100))
+    text = F.concat(
+        F.lit("Contact "), F.col("c_name"), F.lit(" at "), email,
+        F.when(k % 3 == 0, alt).otherwise(F.lit("")),
+        F.lit(" call "), phone,
+        F.when(k % 5 != 0, ip).otherwise(F.lit("")),
+        F.lit(" end"),
+    )
+    rows = c.select("c_mktsegment", text.alias("tx"))
+    counts = pii_count_exprs("tx")
+    red = redact_pii("tx")
+    scanned = rows.select(
+        "c_mktsegment",
+        *[v.alias(k2) for k2, v in counts.items()],
+        (F.length("tx") - F.length(red)).alias("chars_saved"),
+        sum(v for v in pii_count_exprs(red).values()).alias("residual"),
+    )
+    return (
+        scanned.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("email").alias("n_emails"),
+             F.sum("phone").alias("n_phones"),
+             F.sum("ipv4").alias("n_ips"),
+             F.sum("chars_saved").alias("chars_redacted"),
+             F.sum("residual").alias("n_residual"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist policy filter (operators/policy.py): six
+    deterministic URL shapes are synthesized from order keys — plain
+    shop hosts, www'd hosts, tracker.net subdomains, the exactly
+    blocked shop7.example.com, a deep subdomain of it, and an
+    unparseable string (kept by policy). blocklist_filter's literal
+    path (map-side label-suffix expansion + arrays_overlap — a pure
+    zero-join projection) drops subdomain-aware matches; the oracle
+    recomputes host extraction + the label-boundary suffix rule with
+    LIKE. Note branches 0/1 are blocked too whenever m==7 (their host
+    IS shop7.example.com) — the oracle agrees because it derives
+    blocking from the host, not the branch."""
+    from cuckoo_filter_spark.operators.policy import blocklist_filter
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    m = (k % 10).cast("string")
+    ks = k.cast("string")
+    url = (
+        F.when(k % 6 == 0, F.concat(F.lit("https://shop"), m,
+                                    F.lit(".example.com/item/"), ks))
+        .when(k % 6 == 1, F.concat(F.lit("https://www.shop"), m,
+                                   F.lit(".example.com/item/"), ks))
+        .when(k % 6 == 2, F.concat(F.lit("https://cdn"), m,
+                                   F.lit(".tracker.net/img/"), ks))
+        .when(k % 6 == 3, F.concat(F.lit("https://shop7.example.com/x/"), ks))
+        .when(k % 6 == 4, F.concat(F.lit("https://sub.shop7.example.com/y/"),
+                                   ks))
+        .otherwise(F.concat(F.lit("not-a-url-"), ks))
+    )
+    urls = o.select((k % 6).cast("int").alias("branch"), url.alias("url"))
+    kept = blocklist_filter(urls, "url", ["Shop7.example.COM", "tracker.net"])
+    total = urls.groupBy("branch").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_n = kept.groupBy("branch").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        total.join(kept_n, "branch", "left")
+        .select("branch", "n_total",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("branch")
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule filter (functions/quality.py): the
+    corpus is planted with symbol spam (doc_id%10==3) and a
+    stopword-free long-word doc (doc_id%10==6) so every rule fires
+    both ways at sf0.01; thresholds tuned to the corpus (min_tokens=30
+    splits the natural length distribution, stopword rule = "has 'the'
+    et al"). Per-lang keep + per-rule violation counts; the oracle
+    recomputes all four rules in SQL from the same planted text —
+    integers only, no float emitted."""
+    from cuckoo_filter_spark.functions.quality import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    tx = (
+        F.when(m == 3, F.concat(F.col("text"),
+                                F.repeat(F.lit(" !!! ??? ***"), 10)))
+        .when(m == 6,
+              F.trim(F.repeat(F.lit("antidisestablishmentarianism "), 35)))
+        .otherwise(F.col("text"))
+    )
+    planted = docs.select("lang", tx.alias("tx"))
+    r = gopher_rules(
+        "tx", min_tokens=30, max_tokens=100_000, min_mean_word_len=3.0,
+        max_mean_word_len=10.0, max_symbol_ratio=0.05, min_stopword_hits=1)
+    flagged = planted.select(
+        "lang", *[v.alias(name) for name, v in r.items()])
+    neg = lambda col: F.sum((~F.col(col)).cast("int")).cast("bigint")  # noqa: E731
+    return (
+        flagged.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+             neg("ok_tokens").alias("viol_tokens"),
+             neg("ok_word_len").alias("viol_word_len"),
+             neg("ok_symbols").alias("viol_symbols"),
+             neg("ok_stopwords").alias("viol_stopwords"))
+        .orderBy("lang")
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1444,6 +1576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "repetition_stats": q_repetition_stats,
         "line_dedup_docs": q_line_dedup_docs,
+        "pii_scrub": q_pii_scrub,
+        "blocklist_filter": q_blocklist_filter,
+        "gopher_quality": q_gopher_quality,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1475,6 +1610,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketches": q_quantile_sketches,
         "lang_id": q_lang_id,
     }
+
+
+def _pii_oracle_sql() -> str:
+    """q_pii_scrub's oracle, generated from pii_oracle_exprs so the
+    pattern strings used by BOTH engines come from the ONE dict in
+    functions/pii.py — pattern drift is a hash mismatch, not a silent
+    divergence."""
+    from cuckoo_filter_spark.functions.pii import pii_oracle_exprs
+
+    o = pii_oracle_exprs("tx")
+    red = o["__redacted__"]
+    resid = pii_oracle_exprs(red)
+    residual = " + ".join(resid[k] for k in ("email", "phone", "ipv4"))
+    return f"""
+        WITH tx AS (
+            SELECT c_mktsegment,
+                   'Contact ' || c_name || ' at user'
+                   || CAST(c_custkey AS VARCHAR) || '@mail'
+                   || CAST(c_custkey % 7 AS VARCHAR) || '.example.org'
+                   || CASE WHEN c_custkey % 3 = 0
+                           THEN ' or alt' || CAST(c_custkey AS VARCHAR)
+                                || '@example.net'
+                           ELSE '' END
+                   || ' call ' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+                   || '-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                   || '-555-'
+                   || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                   || CASE WHEN c_custkey % 5 <> 0
+                           THEN ' from 10.'
+                                || CAST(c_custkey % 256 AS VARCHAR)
+                                || '.0.' || CAST(c_custkey % 100 AS VARCHAR)
+                           ELSE '' END
+                   || ' end' AS tx
+            FROM customer),
+        scan AS (
+            SELECT c_mktsegment,
+                   {o['email']} AS email,
+                   {o['phone']} AS phone,
+                   {o['ipv4']} AS ipv4,
+                   length(tx) - length({red}) AS chars_saved,
+                   {residual} AS residual
+            FROM tx)
+        SELECT c_mktsegment, COUNT(*) AS n_rows,
+               CAST(SUM(email) AS BIGINT) AS n_emails,
+               CAST(SUM(phone) AS BIGINT) AS n_phones,
+               CAST(SUM(ipv4) AS BIGINT) AS n_ips,
+               CAST(SUM(chars_saved) AS BIGINT) AS chars_redacted,
+               CAST(SUM(residual) AS BIGINT) AS n_residual
+        FROM scan GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1849,6 +2034,108 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_lines_removed, new_text FROM agg
             WHERE n_lines_removed > 0 ORDER BY doc_id
+        """,
+        "pii_scrub": _pii_oracle_sql(),
+        "blocklist_filter": """
+            WITH urls AS (
+                SELECT CAST(o_orderkey % 6 AS INT) AS branch,
+                       CASE o_orderkey % 6
+                         WHEN 0 THEN 'https://shop'
+                                     || CAST(o_orderkey % 10 AS VARCHAR)
+                                     || '.example.com/item/'
+                                     || CAST(o_orderkey AS VARCHAR)
+                         WHEN 1 THEN 'https://www.shop'
+                                     || CAST(o_orderkey % 10 AS VARCHAR)
+                                     || '.example.com/item/'
+                                     || CAST(o_orderkey AS VARCHAR)
+                         WHEN 2 THEN 'https://cdn'
+                                     || CAST(o_orderkey % 10 AS VARCHAR)
+                                     || '.tracker.net/img/'
+                                     || CAST(o_orderkey AS VARCHAR)
+                         WHEN 3 THEN 'https://shop7.example.com/x/'
+                                     || CAST(o_orderkey AS VARCHAR)
+                         WHEN 4 THEN 'https://sub.shop7.example.com/y/'
+                                     || CAST(o_orderkey AS VARCHAR)
+                         ELSE 'not-a-url-' || CAST(o_orderkey AS VARCHAR)
+                       END AS url
+                FROM orders),
+            hosts AS (
+                SELECT branch,
+                       lower(nullif(regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '')) AS host
+                FROM urls),
+            flag AS (
+                SELECT branch,
+                       host IS NOT NULL AND (
+                           host = 'shop7.example.com'
+                           OR host LIKE '%.shop7.example.com'
+                           OR host = 'tracker.net'
+                           OR host LIKE '%.tracker.net') AS blocked
+                FROM hosts)
+            SELECT branch, COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN NOT blocked THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM flag GROUP BY branch ORDER BY branch
+        """,
+        "gopher_quality": """
+            WITH planted AS (
+                SELECT lang,
+                       CASE WHEN doc_id % 10 = 3
+                                THEN text || repeat(' !!! ??? ***', 10)
+                            WHEN doc_id % 10 = 6
+                                THEN trim(repeat(
+                                    'antidisestablishmentarianism ', 35))
+                            ELSE text END AS tx
+                FROM documents),
+            feat AS (
+                SELECT lang,
+                       CASE WHEN trim(tx) = '' THEN 0
+                            ELSE len(string_split_regex(trim(tx), '\\s+'))
+                       END AS n_tokens,
+                       length(tx) AS n_chars,
+                       length(tx) - length(regexp_replace(
+                           tx, '[^\\w\\s]', '', 'g')) AS n_punct,
+                       (CASE WHEN regexp_matches(lower(tx), '\\bthe\\b')
+                             THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(tx), '\\band\\b')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(tx), '\\bof\\b')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(tx), '\\bto\\b')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(tx), '\\bin\\b')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(tx), '\\bis\\b')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(tx), '\\bfor\\b')
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(tx), '\\bthat\\b')
+                               THEN 1 ELSE 0 END) AS stop_hits
+                FROM planted),
+            rules AS (
+                SELECT lang,
+                       n_tokens >= 30 AND n_tokens <= 100000 AS ok_tokens,
+                       (n_chars - n_tokens + 1.0) / greatest(n_tokens, 1)
+                           >= 3.0
+                       AND (n_chars - n_tokens + 1.0) / greatest(n_tokens, 1)
+                           <= 10.0 AS ok_word_len,
+                       n_punct * 1.0 / greatest(n_chars, 1) <= 0.05
+                           AS ok_symbols,
+                       stop_hits >= 1 AS ok_stopwords
+                FROM feat)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN ok_tokens AND ok_word_len
+                                      AND ok_symbols AND ok_stopwords
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(SUM(CASE WHEN NOT ok_tokens THEN 1 ELSE 0 END)
+                        AS BIGINT) AS viol_tokens,
+                   CAST(SUM(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END)
+                        AS BIGINT) AS viol_word_len,
+                   CAST(SUM(CASE WHEN NOT ok_symbols THEN 1 ELSE 0 END)
+                        AS BIGINT) AS viol_symbols,
+                   CAST(SUM(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END)
+                        AS BIGINT) AS viol_stopwords
+            FROM rules GROUP BY lang ORDER BY lang
         """,
         "minhash_dedup": """
             WITH batch AS (
