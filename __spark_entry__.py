@@ -769,6 +769,82 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (operators/shuffle.py): documents
+    ride the writer path (shard assign -> ONE Exchange on shard id ->
+    in-partition sort), then per-shard aggregates prove placement AND
+    order: n_docs/sum_ids pin content preservation through the
+    Exchange, first_okey/first_doc pin the within-shard order head
+    (min over the order key = the first row the trainer would read).
+    The oracle recomputes shard + order from shuffle_sql()'s OWN
+    emitted spellings — the cross-engine reproducibility contract,
+    verbatim (same pattern as hash_split_assign)."""
+    from cuckoo_filter_spark.operators.shuffle import (
+        shuffle_order_expr,
+        shuffle_within_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_within_shards(docs, "doc_id", 16, seed="r5")
+    return (
+        out.select(
+            "shard", "doc_id",
+            shuffle_order_expr("doc_id", "r5").alias("okey"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("okey").alias("first_okey"),
+             F.min_by("doc_id", F.col("okey")).alias("first_doc"),
+             F.sum("doc_id").alias("sum_ids"))
+        .orderBy("shard")
+    )
+
+
+def q_textnorm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization + boilerplate-line removal
+    (functions/textnorm.py): cookie-banner/copyright/footer lines are
+    planted on doc_id%4==1 and exotic-whitespace framing (NBSP,
+    ideographic space, trailing nav stub) on doc_id%4==2, then every
+    doc is line-filtered AND normalized. Per-lang integer aggregates:
+    lines removed, docs hit, and post-transform char totals. The
+    oracle recomputes all three transforms with textnorm_oracle_exprs
+    — the SAME pattern constants drive both engines (Java-regex ∩ RE2
+    subset), so pattern drift is a hash mismatch."""
+    from cuckoo_filter_spark.functions.textnorm import (
+        boilerplate_lines_removed,
+        normalize_text,
+        strip_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    tx = (
+        F.when(m == 1, F.concat(F.col("text"), F.lit(
+            "\nWe use cookies to improve your experience"
+            "\nCopyright 2031 Example Corp\nAll rights reserved")))
+        .when(m == 2, F.concat(
+            F.lit("  \u00a0intro\u3000line\n"), F.col("text"),
+            F.lit("\nShare")))
+        .otherwise(F.col("text"))
+    )
+    planted = docs.select("lang", tx.alias("tx"))
+    out = planted.select(
+        "lang",
+        boilerplate_lines_removed("tx").alias("n_rm"),
+        F.length(strip_boilerplate_lines("tx")).alias("len_stripped"),
+        F.length(normalize_text("tx")).alias("len_norm"),
+    )
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_rm").alias("n_lines_removed"),
+             F.sum((F.col("n_rm") > 0).cast("int")).cast("bigint")
+             .alias("n_docs_hit"),
+             F.sum("len_stripped").alias("sum_len_stripped"),
+             F.sum("len_norm").alias("sum_len_norm"))
+        .orderBy("lang")
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1579,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "blocklist_filter": q_blocklist_filter,
         "gopher_quality": q_gopher_quality,
+        "global_shuffle": q_global_shuffle,
+        "textnorm_boilerplate": q_textnorm_boilerplate,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1659,6 +1737,62 @@ def _pii_oracle_sql() -> str:
                CAST(SUM(chars_saved) AS BIGINT) AS chars_redacted,
                CAST(SUM(residual) AS BIGINT) AS n_residual
         FROM scan GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+def _shuffle_oracle_sql() -> str:
+    """q_global_shuffle's oracle: the shard id and order key are
+    recomputed from shuffle_sql()'s OWN emitted ANSI spellings —
+    row-for-row agreement is the engine-portability contract for the
+    written corpus (any auditor recomputes the same shuffle)."""
+    from cuckoo_filter_spark.operators.shuffle import shuffle_sql
+
+    s = shuffle_sql("doc_id", 16, "r5")
+    return f"""
+        WITH a AS (
+            SELECT doc_id, {s['order']} AS okey, {s['shard']} AS shard
+            FROM documents)
+        SELECT shard, COUNT(*) AS n_docs, MIN(okey) AS first_okey,
+               arg_min(doc_id, okey) AS first_doc,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM a GROUP BY shard ORDER BY shard
+    """
+
+
+def _textnorm_oracle_sql() -> str:
+    """q_textnorm_boilerplate's oracle, generated from
+    textnorm_oracle_exprs so the pattern strings used by BOTH engines
+    come from the ONE set of constants in functions/textnorm.py."""
+    from cuckoo_filter_spark.functions.textnorm import textnorm_oracle_exprs
+
+    o = textnorm_oracle_exprs("tx")
+    return f"""
+        WITH tx AS (
+            SELECT lang,
+                   CASE
+                     WHEN doc_id % 4 = 1 THEN text || chr(10)
+                          || 'We use cookies to improve your experience'
+                          || chr(10) || 'Copyright 2031 Example Corp'
+                          || chr(10) || 'All rights reserved'
+                     WHEN doc_id % 4 = 2 THEN '  ' || chr(160) || 'intro'
+                          || chr(12288) || 'line' || chr(10) || text
+                          || chr(10) || 'Share'
+                     ELSE text
+                   END AS tx
+            FROM documents),
+        scan AS (
+            SELECT lang,
+                   {o['n_removed']} AS n_rm,
+                   length({o['stripped']}) AS len_stripped,
+                   length({o['normalized']}) AS len_norm
+            FROM tx)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_rm) AS BIGINT) AS n_lines_removed,
+               CAST(SUM(CASE WHEN n_rm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_hit,
+               CAST(SUM(len_stripped) AS BIGINT) AS sum_len_stripped,
+               CAST(SUM(len_norm) AS BIGINT) AS sum_len_norm
+        FROM scan GROUP BY lang ORDER BY lang
     """
 
 
@@ -2036,6 +2170,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_lines_removed > 0 ORDER BY doc_id
         """,
         "pii_scrub": _pii_oracle_sql(),
+        "global_shuffle": _shuffle_oracle_sql(),
+        "textnorm_boilerplate": _textnorm_oracle_sql(),
         "blocklist_filter": """
             WITH urls AS (
                 SELECT CAST(o_orderkey % 6 AS INT) AS branch,

@@ -331,6 +331,71 @@ def main() -> None:
     sections.append(("repetition signals: zero-shuffle ArrowEvalPython "
                      "projection, pruned scan", ok, p))
 
+    # 17. PII scrub + quality rules + normalization: the whole per-doc
+    # policy stack is a PURE codegen projection — zero Exchange, zero
+    # Python, scan pruned to the text column
+    from cuckoo_filter_spark.functions.pii import pii_count_exprs, redact_pii
+    from cuckoo_filter_spark.functions.quality import gopher_keep_expr
+    from cuckoo_filter_spark.functions.textnorm import normalize_text
+
+    scrubbed = docs2.select(
+        redact_pii("text").alias("clean"),
+        gopher_keep_expr("text").alias("keep"),
+        normalize_text("text").alias("norm"),
+        *[v.alias(k) for k, v in pii_count_exprs("text").items()])
+    p = plan_of(scrubbed)
+    ok = (
+        "Exchange" not in p
+        and "InPandas" not in p
+        and "Python" not in p
+        and "codegen id" in p
+        and read_schema_cols(p) == ["text"]
+    )
+    sections.append(("pii scrub + quality rules + normalize: pure codegen "
+                     "projection, zero Exchange, zero Python, pruned scan",
+                     ok, p))
+
+    # 18. blocklist literal path: subdomain policy as a ZERO-JOIN
+    # projection (suffix expansion + arrays_overlap inside the scan
+    # stage) — no Exchange, no Join of any kind, no Python
+    from cuckoo_filter_spark.operators.policy import blocklist_filter
+
+    urls = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.concat(F.lit("https://h"), (F.col("o_orderkey") % 100)
+                 .cast("string"), F.lit(".example.com/")).alias("url"))
+    blocked = blocklist_filter(urls, "url", ["h7.example.com", "bad.net"])
+    p = plan_of(blocked)
+    ok = (
+        "Exchange" not in p
+        and "Join" not in p
+        and "Python" not in p
+        and read_schema_cols(p) == ["o_orderkey"]
+    )
+    sections.append(("blocklist literal path: zero-join, zero-Exchange "
+                     "projection, pruned scan", ok, p))
+
+    # 19. deterministic global shuffle: assign_shards is a pure
+    # projection (zero Exchange); the writer path pays EXACTLY one
+    # Exchange (hash on the shard id) + an in-partition Sort — the
+    # minimum any global shuffle costs — with zero Python
+    from cuckoo_filter_spark.operators.shuffle import (
+        assign_shards, shuffle_within_shards)
+
+    assigned = assign_shards(docs2.select("doc_id"), "doc_id", 64, seed="r5")
+    p1 = plan_of(assigned)
+    writer = shuffle_within_shards(docs2, "doc_id", 64, seed="r5")
+    p2 = plan_of(writer)
+    ok = (
+        "Exchange" not in p1
+        and read_schema_cols(p1) == ["doc_id"]
+        and len(re.findall(r"\(\d+\) Exchange", p2)) == 1
+        and "Sort" in p2
+        and "Python" not in p2
+    )
+    sections.append(("global shuffle: shard assign = zero-Exchange "
+                     "projection; writer = ONE Exchange + local sort",
+                     ok, p1 + "\n--- writer path ---\n" + p2))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
