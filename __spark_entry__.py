@@ -845,6 +845,65 @@ def q_textnorm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring repetition (operators/spans.py — the Lee et al.
+    ExactSubstr signal): a fixed 10-token sentence is planted onto
+    doc_id%7==3 docs, so its 10-token windows repeat corpus-wide; doc
+    text itself contributes natural repeats. Per-lang integer rollup of
+    window/repeat counts + docs hit. The oracle regenerates the SAME
+    windows from spans_oracle_exprs' emitted spelling and recomputes
+    the occurrence-count rule by grouping the window STRINGS — so it
+    also proves the md5-fingerprint path collision-free on this corpus
+    (a collision would conflate two grams and shift a count)."""
+    from cuckoo_filter_spark.operators.spans import repeated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    planted_tail = (" the planted span marker sentence that repeats"
+                    " verbatim across documents")
+    tx = F.when(
+        F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(planted_tail))
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", "lang", tx.alias("tx"))
+    stats = repeated_span_stats(base, "doc_id", "tx", k=10)
+    return (
+        stats.join(base.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_windowed"),
+             F.sum("n_windows").alias("sum_windows"),
+             F.sum("n_repeated").alias("sum_repeated"),
+             F.sum((F.col("n_repeated") > 0).cast("int")).cast("bigint")
+             .alias("n_docs_with_repeats"))
+        .orderBy("lang")
+    )
+
+
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-based mixture selection (operators/budget.py): per-lang,
+    docs ranked by (n_chars DESC, doc_id) are taken until a 2000-token
+    budget is spent, straddle policy (the first overflowing doc is
+    kept — both predicate clauses fire at sf0.01). sum_sel_ids pins
+    the EXACT selected subset, not just its size. The oracle embeds
+    budget_oracle_sql()'s OWN emitted predicate in a QUALIFY — the
+    running-sum rule is recomputed verbatim by another engine, and the
+    token amounts use the same tokenization contract as token_stats."""
+    from cuckoo_filter_spark.functions.text import token_count_expr
+    from cuckoo_filter_spark.operators.budget import take_until_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        token_count_expr("text").alias("toks"))
+    sel = take_until_budget(
+        docs, ["lang"], [F.col("n_chars").desc(), F.col("doc_id")],
+        "toks", 2000, policy="straddle")
+    return (
+        sel.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_selected"),
+             F.sum("toks").alias("sum_sel_tokens"),
+             F.sum("doc_id").alias("sum_sel_ids"))
+        .orderBy("lang")
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1657,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "global_shuffle": q_global_shuffle,
         "textnorm_boilerplate": q_textnorm_boilerplate,
+        "repeated_spans": q_repeated_spans,
+        "budget_mix": q_budget_mix,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1793,6 +1854,62 @@ def _textnorm_oracle_sql() -> str:
                CAST(SUM(len_stripped) AS BIGINT) AS sum_len_stripped,
                CAST(SUM(len_norm) AS BIGINT) AS sum_len_norm
         FROM scan GROUP BY lang ORDER BY lang
+    """
+
+
+def _spans_oracle_sql() -> str:
+    """q_repeated_spans' oracle: windows regenerated from
+    spans_oracle_exprs' OWN emitted spelling; the repetition rule
+    recomputed by grouping the window STRINGS (not fingerprints) — so
+    equality additionally proves the Spark-side md5 path
+    collision-free on this corpus."""
+    from cuckoo_filter_spark.operators.spans import spans_oracle_exprs
+
+    w = spans_oracle_exprs("tx", 10)["windows"]
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 7 = 3
+                        THEN text || ' the planted span marker sentence'
+                             || ' that repeats verbatim across documents'
+                        ELSE text END AS tx
+            FROM documents),
+        grams AS (
+            SELECT doc_id, lang, unnest({w}) AS gram FROM base),
+        counts AS (SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram),
+        per_doc AS (
+            SELECT doc_id, any_value(lang) AS lang,
+                   COUNT(*) AS n_windows,
+                   SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_repeated
+            FROM grams JOIN counts USING (gram)
+            GROUP BY doc_id)
+        SELECT lang, COUNT(*) AS n_docs_windowed,
+               CAST(SUM(n_windows) AS BIGINT) AS sum_windows,
+               CAST(SUM(n_repeated) AS BIGINT) AS sum_repeated,
+               CAST(SUM(CASE WHEN n_repeated > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_with_repeats
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """
+
+
+def _budget_oracle_sql_query() -> str:
+    """q_budget_mix's oracle: the keep predicate comes verbatim from
+    budget_oracle_sql() — the one emitter both engines share — and the
+    token amount uses token_stats' tokenization spelling."""
+    from cuckoo_filter_spark.operators.budget import budget_oracle_sql
+
+    toks = ("CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+    pred = budget_oracle_sql(
+        "lang", "n_chars DESC, doc_id", "toks", "2000", "straddle")
+    return f"""
+        WITH amt AS (
+            SELECT doc_id, lang, n_chars, {toks} AS toks FROM documents),
+        sel AS (SELECT * FROM amt QUALIFY {pred})
+        SELECT lang, COUNT(*) AS n_selected,
+               CAST(SUM(toks) AS BIGINT) AS sum_sel_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_sel_ids
+        FROM sel GROUP BY lang ORDER BY lang
     """
 
 
@@ -2172,6 +2289,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_oracle_sql(),
         "global_shuffle": _shuffle_oracle_sql(),
         "textnorm_boilerplate": _textnorm_oracle_sql(),
+        "repeated_spans": _spans_oracle_sql(),
+        "budget_mix": _budget_oracle_sql_query(),
         "blocklist_filter": """
             WITH urls AS (
                 SELECT CAST(o_orderkey % 6 AS INT) AS branch,

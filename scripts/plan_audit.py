@@ -396,6 +396,44 @@ def main() -> None:
                      "projection; writer = ONE Exchange + local sort",
                      ok, p1 + "\n--- writer path ---\n" + p2))
 
+    # 20. repeated spans (ExactSubstr): text never shuffles — the only
+    # Exchanges are the two partial-aggregated counts (fp occurrences,
+    # per-doc totals); the repeated set comes back as a broadcast join;
+    # zero Python; scan pruned to (doc_id, text)
+    from cuckoo_filter_spark.operators.spans import repeated_span_stats
+
+    spans = repeated_span_stats(docs2, "doc_id", "text", k=12)
+    p = plan_of(spans)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    ok = (
+        n_exchange == 2
+        and "BroadcastHashJoin" in p
+        and "Python" not in p
+        and "partial_count" in p
+        and read_schema_cols(p) == ["doc_id", "text"]
+    )
+    sections.append(("repeated spans: two partial-agg Exchanges, broadcast "
+                     "repeat-set join, zero Python, pruned scan", ok, p))
+
+    # 21. budget selection: ONE hash Exchange on the group + one sort
+    # feeds the running-sum window and a codegen filter — zero Python,
+    # scan pruned to the used columns
+    from cuckoo_filter_spark.operators.budget import take_until_budget
+
+    sel = take_until_budget(
+        docs2.select("doc_id", "lang", "n_chars"), ["lang"],
+        [F.col("n_chars").desc(), F.col("doc_id")], "n_chars", 50_000)
+    p = plan_of(sel)
+    ok = (
+        len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and "Python" not in p
+        and "Window" in p
+        and read_schema_cols(p) == ["doc_id", "lang", "n_chars"]
+    )
+    sections.append(("budget selection: ONE group Exchange + sort + "
+                     "running-sum Window + codegen filter, zero Python",
+                     ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
