@@ -66,6 +66,11 @@ def take_until_budget(
                          "literal column for a global budget)")
     if not order_by:
         raise ValueError("order_by must be non-empty and a TOTAL order")
+    if "__run" in df.columns:
+        raise ValueError("input column '__run' collides with the internal "
+                         "running-sum name")
+    if running_col is not None and running_col in df.columns:
+        raise ValueError(f"running_col {running_col!r} already exists")
     amount = F.col(amount_col)
     checked = F.when(
         amount.isNull() | (amount < 0),

@@ -87,6 +87,8 @@ def repeated_span_stats(
     """
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if id_col in ("gram", "fp", "__rep"):
+        raise ValueError(f"id_col {id_col!r} collides with internal names")
     windows = token_windows_expr(text_col, k, stride)
     key = F.col("gram")
     if fingerprint:

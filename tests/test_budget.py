@@ -130,3 +130,12 @@ def test_duckdb_parity(df, policy):
     want = [r[0] for r in con.execute(
         f"SELECT id FROM t QUALIFY {pred} ORDER BY id").fetchall()]
     assert got == want
+
+
+def test_internal_column_collision_guards(df):
+    with pytest.raises(ValueError, match="__run"):
+        take_until_budget(df.withColumn("__run", F.lit(1)),
+                          ["grp"], ["rank"], "amount", 1)
+    with pytest.raises(ValueError, match="already exists"):
+        take_until_budget(df, ["grp"], ["rank"], "amount", 1,
+                          running_col="amount")

@@ -131,3 +131,9 @@ def test_duckdb_window_parity(df, k, stride):
     want = con.execute(
         f"SELECT id, {o['windows']} AS w FROM t ORDER BY id").fetchall()
     assert [(r["id"], r["w"]) for r in got] == [(i, list(w)) for i, w in want]
+
+
+def test_id_col_collision_guard(spark):
+    d = spark.createDataFrame([(0, "a b c")], "gram long, text string")
+    with pytest.raises(ValueError, match="collides"):
+        repeated_span_stats(d, "gram", "text")
