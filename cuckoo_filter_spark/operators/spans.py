@@ -69,7 +69,7 @@ def repeated_span_stats(
     k: int = 20,
     stride: int = 1,
     min_count: int = 2,
-    fingerprint: bool = True,
+    fingerprint: bool | str = True,
     broadcast_repeats: bool = True,
 ) -> DataFrame:
     """Per-doc repetition profile: ``(id_col, n_windows, n_repeated)``.
@@ -82,16 +82,27 @@ def repeated_span_stats(
     composition).
 
     ``fingerprint=True`` (default) counts 128-bit md5 fingerprints —
-    16 B/window on the wire; ``False`` counts the window strings
+    16 B/window on the wire, collisions cryptographically negligible;
+    ``'xxhash64'`` counts JVM xxhash64 fingerprints — 8 B/window and
+    no regex/md5 cost, at quantified collision odds (birthday bound
+    ~n²/2⁶⁵: ≈3% chance of ONE colliding pair at 10⁹ distinct windows,
+    which would merge two grams' counts — fine for a dedup SIGNAL,
+    not for an exact report); ``False`` counts the window strings
     themselves (byte-exact, heavier shuffle).
     """
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     if id_col in ("gram", "fp", "__rep"):
         raise ValueError(f"id_col {id_col!r} collides with internal names")
+    if fingerprint not in (True, False, "xxhash64"):
+        raise ValueError(
+            f"fingerprint must be True (md5), 'xxhash64', or False "
+            f"(group by window strings), got {fingerprint!r}")
     windows = token_windows_expr(text_col, k, stride)
     key = F.col("gram")
-    if fingerprint:
+    if fingerprint == "xxhash64":
+        key = F.xxhash64(key)
+    elif fingerprint:
         key = F.unhex(F.md5(key))
     exploded = df.select(
         F.col(id_col), F.explode(windows).alias("gram")

@@ -75,11 +75,16 @@ def test_stats_match_bruteforce(df, k, stride, min_count):
     assert got == brute(CORPUS, k, stride, min_count)
 
 
-def test_fingerprint_false_equality(df):
+def test_fingerprint_modes_agree(df):
     a = repeated_span_stats(df, "id", "text", k=3).collect()
     b = repeated_span_stats(df, "id", "text", k=3,
                             fingerprint=False).collect()
+    c = repeated_span_stats(df, "id", "text", k=3,
+                            fingerprint="xxhash64").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(map(tuple, a)) == sorted(map(tuple, c))
+    with pytest.raises(ValueError, match="fingerprint"):
+        repeated_span_stats(df, "id", "text", fingerprint="sha1")
 
 
 def test_self_repetition_counts(df):
