@@ -904,6 +904,30 @@ def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_embed_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (operators/chunks.py — the
+    embedding-prep reshape): documents explode into 64-token chunks
+    with 16-token overlap (last chunk right-aligned, nothing dropped).
+    Per-lang integer rollup: docs chunked, chunk count, token and char
+    totals — sum(length(chunk_text)) pins the exact chunk text, not
+    just the counts. The oracle rebuilds starts/tokens from
+    chunks_oracle_exprs' OWN emitted arithmetic and slices the same
+    token lists in SQL."""
+    from cuckoo_filter_spark.operators.chunks import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    chunks = chunk_tokens(docs, "doc_id", "text", 64, 16)
+    return (
+        chunks.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count_distinct("doc_id").alias("n_docs_chunked"),
+             F.count(F.lit(1)).alias("n_chunks"),
+             F.sum("chunk_tokens").alias("sum_chunk_tokens"),
+             F.sum(F.length("chunk_text")).alias("sum_chunk_chars"))
+        .orderBy("lang")
+    )
+
+
 def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
@@ -1718,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textnorm_boilerplate": q_textnorm_boilerplate,
         "repeated_spans": q_repeated_spans,
         "budget_mix": q_budget_mix,
+        "chunk_embed_prep": q_chunk_embed_prep,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1910,6 +1935,31 @@ def _budget_oracle_sql_query() -> str:
                CAST(SUM(toks) AS BIGINT) AS sum_sel_tokens,
                CAST(SUM(doc_id) AS BIGINT) AS sum_sel_ids
         FROM sel GROUP BY lang ORDER BY lang
+    """
+
+
+def _chunks_oracle_sql() -> str:
+    """q_chunk_embed_prep's oracle: starts/tokens from
+    chunks_oracle_exprs' one emitter; chunk text re-sliced in SQL."""
+    from cuckoo_filter_spark.operators.chunks import chunks_oracle_exprs
+
+    o = chunks_oracle_exprs("text", 64, 16)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, {o['tokens']} AS w,
+                   unnest({o['starts']}) AS st
+            FROM documents),
+        ch AS (
+            SELECT doc_id, lang,
+                   len(w[st + 1 : st + 64]) AS n_toks,
+                   length(array_to_string(w[st + 1 : st + 64], ' '))
+                       AS n_chars
+            FROM base)
+        SELECT lang, COUNT(DISTINCT doc_id) AS n_docs_chunked,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(n_toks) AS BIGINT) AS sum_chunk_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chunk_chars
+        FROM ch GROUP BY lang ORDER BY lang
     """
 
 
@@ -2291,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "textnorm_boilerplate": _textnorm_oracle_sql(),
         "repeated_spans": _spans_oracle_sql(),
         "budget_mix": _budget_oracle_sql_query(),
+        "chunk_embed_prep": _chunks_oracle_sql(),
         "blocklist_filter": """
             WITH urls AS (
                 SELECT CAST(o_orderkey % 6 AS INT) AS branch,

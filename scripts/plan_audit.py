@@ -434,6 +434,23 @@ def main() -> None:
                      "running-sum Window + codegen filter, zero Python",
                      ok, p))
 
+    # 22. overlapping token chunking: a map-side Generate inside the
+    # scan stage — zero Exchange, zero Python, scan pruned to the two
+    # used columns
+    from cuckoo_filter_spark.operators.chunks import chunk_tokens
+
+    ch = chunk_tokens(docs2.select("doc_id", "text"), "doc_id", "text",
+                      64, 16)
+    p = plan_of(ch)
+    ok = (
+        "Exchange" not in p
+        and "Generate" in p
+        and "Python" not in p
+        and read_schema_cols(p) == ["doc_id", "text"]
+    )
+    sections.append(("token chunking: map-side Generate, zero Exchange, "
+                     "zero Python, pruned scan", ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
