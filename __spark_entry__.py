@@ -1462,6 +1462,45 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_streaming_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming frequent items (streaming/topk.py): one
+    Misra-Gries sketch per daily window in GroupState, update mode;
+    final per-window snapshot = the max-updates batch. k=1024 far
+    exceeds the per-day user cardinality (~134 at sf0.01), so the
+    sketch is EXACT (count_lo == count_hi == true frequency, offset 0)
+    and the oracle is a strict GROUP BY / HAVING recompute — the
+    bound-boolean `exact` pins the exactness claim itself. Items are
+    MG-stringified; the oracle CASTs to VARCHAR to match."""
+    from pyspark.sql import Window
+
+    from cuckoo_filter_spark.streaming.topk import windowed_frequent_items
+
+    _ensure_package(spark)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = _stream_source(spark, sf_dir, "events").select(
+            F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        freq = windowed_frequent_items(
+            stream, "ts", "user_id", window="1 day", watermark="1 hour",
+            k=1024, min_count=4)
+        qn = _run_stream(freq, "mgwin", "update")
+        w = Window.partitionBy("window_start")
+        return (
+            spark.table(qn)
+            .withColumn("mx", F.max("updates").over(w))
+            .where(F.col("updates") == F.col("mx"))
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                F.col("item").alias("user_id"),
+                F.col("count_lo").alias("n_events"),
+                (F.col("count_hi") == F.col("count_lo")).alias("exact"))
+            .orderBy("day", "user_id")
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization (streaming/sessions.py): gap-based
     sessions (1-day gap, 1-hour watermark) maintained in GroupState and
@@ -1763,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_dedup_users": q_streaming_dedup_users,
         "streaming_windowed_hll": q_streaming_windowed_hll,
+        "streaming_frequent_users": q_streaming_frequent_users,
         "streaming_sessionize": q_streaming_sessionize,
         # approximate sketches, oracle-checked via deterministic bound
         # booleans (the sketches are deterministic given the data) plus
@@ -2678,6 +2718,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
             ORDER BY day
+        """,
+        "streaming_frequent_users": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(user_id AS VARCHAR) AS user_id,
+                   COUNT(*) AS n_events,
+                   TRUE AS exact
+            FROM events
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 4
+            ORDER BY day, user_id
         """,
         "hll_distinct_estimate": """
             SELECT TRUE AS within_4sigma,
