@@ -91,8 +91,8 @@ def take_until_budget(
     if policy == "straddle":
         # (run - amount) is the exclusive prefix: the first overflowing
         # row is the one whose prefix still fit strictly below budget.
-        # (With budget <= 0 nothing is kept — no free row on an empty
-        # quota.)
+        # (With a zero budget this clause never fires — prefix < 0 is
+        # impossible — so only zero-COST rows survive, via run <= b.)
         keep = keep | ((run - checked) < b)
     out = out.where(keep)
     if running_col is not None:
