@@ -63,3 +63,38 @@ def test_budget_sql_predicate_matches_brute(rows, budget, policy):
             kept.append(r["id"])
         run[r["grp"]] = new
     assert got == sorted(kept)
+
+
+@given(st.lists(_text, min_size=1, max_size=8),
+       st.integers(1, 6), st.integers(0, 5))
+@settings(max_examples=60, deadline=None)
+def test_chunks_sql_starts_match_brute(texts, k, overlap):
+    import math
+
+    from cuckoo_filter_spark.operators.chunks import chunks_oracle_exprs
+
+    if overlap >= k:
+        return  # invalid combo, guarded elsewhere
+    o = chunks_oracle_exprs("text", k, overlap)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        {"id": range(len(texts)), "text": pd.array(texts, dtype="string")}))
+    got = con.execute(
+        f"SELECT id, {o['starts']} AS s FROM t ORDER BY id").fetchall()
+    s = k - overlap
+    for (i, starts) in got:
+        toks = (texts[i] or "").split()
+        n = len(toks)
+        if n == 0:
+            want = []
+        elif n <= k:
+            want = [0]
+        else:
+            want = [min(j * s, n - k)
+                    for j in range(math.ceil((n - k) / s) + 1)]
+        assert list(starts) == want, (texts[i], k, overlap)
+        # coverage + exact-k laws on the brute side double-check the rule
+        covered = set()
+        for st_ in want:
+            covered |= set(range(st_, min(st_ + k, n)))
+        assert covered == set(range(n))
