@@ -112,6 +112,51 @@ def shuffle_within_shards(
     )
 
 
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int,
+    seed: str = "",
+    *,
+    shard_col: str = "shard",
+    mode: str = "error",
+) -> dict:
+    """The sink composition: run the writer path and persist it as
+    parquet partitioned by the shard id (``path/shard=N/...``, one
+    task per shard ⇒ one file per shard at typical sizes), then verify
+    the write by re-reading: returns a manifest dict
+    ``{'num_shards', 'seed', 'key_col', 'rows_written', 'shards':
+    {shard: n_rows}}``. The verification scan is the cheap kind (count
+    per partition directory — column-pruned to nothing but the
+    partition value).
+
+    Determinism contract carries through the files: a re-executed
+    writer task reproduces its shard byte-for-bit (every value is a
+    pure function of the key and seed), so speculative execution or
+    task retries cannot fork the corpus. Any engine can re-derive the
+    placement from ``shuffle_sql(key, num_shards, seed)``.
+
+    ``mode`` passes through to the DataFrameWriter (``'error'`` by
+    default — a corpus snapshot should never be silently clobbered;
+    pass ``'overwrite'`` deliberately).
+    """
+    out = shuffle_within_shards(df, key_col, num_shards, seed,
+                                shard_col=shard_col)
+    out.write.mode(mode).partitionBy(shard_col).parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    counts = {int(r[shard_col]): int(r["n"])
+              for r in back.groupBy(shard_col)
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    return {
+        "num_shards": num_shards,
+        "seed": seed,
+        "key_col": key_col,
+        "rows_written": sum(counts.values()),
+        "shards": counts,
+    }
+
+
 def shuffle_sql(key_expr: str, num_shards: int, seed: str = "") -> dict[str, str]:
     """The ANSI/DuckDB spellings of the IDENTICAL order key and shard
     id (``{'order': ..., 'shard': ...}``) — any engine touching the

@@ -109,3 +109,28 @@ def test_guards(keys_df):
         shuffle_sql("k", 4, seed="o'clock")
     with pytest.raises(ValueError, match="already exists"):
         assign_shards(keys_df.withColumn("shard", F.lit(1)), "k", 4)
+
+
+def test_write_shuffled_shards(spark, keys_df, tmp_path):
+    from cuckoo_filter_spark.operators.shuffle import write_shuffled_shards
+
+    path = str(tmp_path / "corpus")
+    m = write_shuffled_shards(keys_df, path, "k", 8, seed="w")
+    assert m["rows_written"] == N and set(m["shards"]) == set(range(8))
+    assert sum(m["shards"].values()) == N
+    # the files round-trip the full content and the declared order:
+    # within each shard directory, rows come back in (okey, k) order
+    back = spark.read.parquet(path)
+    got = back.select(
+        "shard", "k", shuffle_order_expr("k", "w").alias("okey")
+    ).toPandas()
+    assert sorted(got["k"]) == list(range(N))
+    for shard, g in got.groupby("shard"):
+        assert list(g["k"]) == [k for _, k in sorted(zip(g["okey"], g["k"]))]
+    # default mode refuses to clobber an existing snapshot
+    with pytest.raises(Exception):
+        write_shuffled_shards(keys_df, path, "k", 8, seed="w")
+    # deliberate overwrite reproduces the identical manifest
+    m2 = write_shuffled_shards(keys_df, path, "k", 8, seed="w",
+                               mode="overwrite")
+    assert m2 == m
