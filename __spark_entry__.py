@@ -1495,6 +1495,11 @@ def q_streaming_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("item").alias("user_id"),
                 F.col("count_lo").alias("n_events"),
                 (F.col("count_hi") == F.col("count_lo")).alias("exact"))
+            # deterministic tie-break: a micro-batch whose rows for a
+            # window are all NULL items leaves `updates` unchanged, so
+            # TWO batches can tie at max(updates) with identical item
+            # sets — both would survive the filter and duplicate rows
+            .dropDuplicates(["day", "user_id"])
             .orderBy("day", "user_id")
         )
     finally:

@@ -101,11 +101,17 @@ def drop_contaminated(
     text_col: str,
     benchmark: DataFrame,
     min_hits: int = 1,
+    broadcast_flagged: bool = True,
     **kwargs,
 ) -> DataFrame:
     """The filtering composition: training corpus minus docs with
     >= ``min_hits`` contaminated n-grams. One left_anti join against
-    the (tiny) contaminated-id set — train text never shuffles."""
+    the (tiny) contaminated-id set — train text never shuffles.
+    ``broadcast_flagged=False`` degrades to a shuffle anti join for a
+    contaminated set beyond executor memory (only plausible when the
+    "benchmark" side is itself corpus-scale), mirroring
+    ``filter_repeated_spans``."""
     contaminated = decontaminate(train, id_col, text_col, benchmark, **kwargs)
     flagged = contaminated.where(F.col("hit_grams") >= min_hits).select(id_col)
-    return train.join(F.broadcast(flagged), on=id_col, how="left_anti")
+    rhs = F.broadcast(flagged) if broadcast_flagged else flagged
+    return train.join(rhs, on=id_col, how="left_anti")

@@ -11,12 +11,23 @@ Shape at 100 TB — the text bodies never shuffle:
    8-byte counts cross the network.
 2. The (tiny) repeated-fingerprint set broadcasts back onto a second
    map-side explode; ONLY candidate duplicate lines carry their text
-   into the keep-first window (exact: the window partitions by the LINE
-   BYTES, so 64-bit collisions cannot conflate distinct lines).
-3. Removed ``(id, [idx...])`` lists — small by construction — broadcast
-   back onto the ORIGINAL frame, and the rewrite is a pure JVM
-   indexed-lambda filter over ``split(text)``. Docs with no removals
-   pass through untouched, un-shuffled.
+   onward. Keep-first is a partial-agg ``groupBy(line).agg(MIN(struct
+   (id, idx)))`` — exact (keyed by the LINE BYTES, so 64-bit collisions
+   cannot conflate distinct lines) AND hot-line-safe: a boilerplate
+   line repeated 10⁹× map-side-combines to one row per task instead of
+   funnelling every occurrence into a single-task sort (the
+   ``Window.partitionBy(line)`` failure mode). Removals are the
+   candidates anti-joined against the firsts on ``(line, id, idx)``.
+3. Removed ``(id, [idx...])`` lists — small in the intended curation
+   regime — broadcast back onto the ORIGINAL frame, and the rewrite is
+   a pure JVM indexed-lambda filter over ``split(text)``. Docs with no
+   removals pass through untouched, un-shuffled.
+   ``broadcast_removed=False`` degrades that join to a shuffle join for
+   C4-scale removal sets (a large fraction of all docs); likewise
+   ``broadcast_firsts=False`` shuffle-joins the firsts when the
+   distinct-repeated-line set exceeds executor memory — the composite
+   ``(line, id, idx)`` join key spreads hot lines across partitions, so
+   the fallback stays skew-safe.
 
 The double map-side explode (steps 1 and 2 both re-run the scan
 projection) is the same deliberate re-read-vs-materialize trade
@@ -31,7 +42,7 @@ grafted LLM-pipeline scope (SURVEY.md §2 extension table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from cuckoo_filter_spark.functions.text import tokens_expr
 
@@ -59,6 +70,8 @@ def dedup_lines(
     id_col: str,
     sep: str = "\n",
     min_chars: int = 1,
+    broadcast_removed: bool = True,
+    broadcast_firsts: bool = True,
 ) -> DataFrame:
     """Keep-first global line dedup: among lines whose trimmed length is
     >= ``min_chars``, every distinct line string keeps ONLY its first
@@ -74,7 +87,7 @@ def dedup_lines(
     """
     if min_chars < 1:
         raise ValueError(f"min_chars must be >= 1, got {min_chars}")
-    if id_col in ("idx", "line", "fp"):
+    if id_col in ("idx", "line", "fp", "__first"):
         raise ValueError(f"id_col {id_col!r} collides with internal names")
     clash = [c for c in ("__removed_idxs", "n_lines_removed") if c in df.columns]
     if clash:
@@ -97,18 +110,28 @@ def dedup_lines(
         .select("fp")
     )
 
-    # phase 2: candidates carry text; exact keep-first via a window over
-    # the line BYTES (collision-proof).
+    # phase 2: candidates carry text; exact keep-first via a PARTIAL-AGG
+    # MIN(struct(id, idx)) keyed by the line BYTES (collision-proof, and
+    # hot lines map-side-combine instead of single-task-sorting).
     cand = with_fp.join(F.broadcast(dup_fps), on="fp", how="left_semi")
-    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("idx"))
+    firsts = (
+        cand.groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("idx"))).alias("__first"))
+        .select(
+            "line",
+            F.col("__first").getField(id_col).alias(id_col),
+            F.col("__first").getField("idx").alias("idx"),
+        )
+    )
+    first_rhs = F.broadcast(firsts) if broadcast_firsts else firsts
     removed = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") > 1)
+        cand.join(first_rhs, on=["line", id_col, "idx"], how="left_anti")
         .groupBy(id_col)
         .agg(F.collect_list("idx").alias("__removed_idxs"))
     )
 
-    out = df.join(F.broadcast(removed), on=id_col, how="left")
+    rem_rhs = F.broadcast(removed) if broadcast_removed else removed
+    out = df.join(rem_rhs, on=id_col, how="left")
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)
     kept = F.filter(
         lines, lambda x, i: ~F.array_contains(F.col("__removed_idxs"), i)

@@ -104,6 +104,15 @@ def blocklist_filter(
         raise TypeError(
             f"blocklist must be a list/tuple or DataFrame, got "
             f"{type(blocklist).__name__}")
+    clash = [c for c in ("__host", "__suf") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input column(s) {clash} collide with blocklist_filter's "
+            "internal names")
+    if "__dom" in blocklist.columns and domain_col != "__dom":
+        raise ValueError(
+            "blocklist column '__dom' collides with the internal "
+            "normalized-domain name")
     dom = (blocklist.select(normalize_domain(domain_col).alias("__dom"))
            .where(F.length("__dom") > 0).dropDuplicates())
     with_host = df.withColumn("__host", host)

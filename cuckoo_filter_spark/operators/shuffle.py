@@ -140,8 +140,27 @@ def write_shuffled_shards(
     ``mode`` passes through to the DataFrameWriter (``'error'`` by
     default — a corpus snapshot should never be silently clobbered;
     pass ``'overwrite'`` deliberately).
+
+    NULL keys fail LOUD before any file commits: ``assign_shards``
+    gives them shard NULL (a caller-visible column — callers decide),
+    but a PERSISTED corpus with rows hidden in a
+    ``__HIVE_DEFAULT_PARTITION__`` directory and a manifest crash after
+    the data is already on disk is the worst of both; the check is a
+    zero-scan projection guard (``raise_error`` inside the write plan),
+    so the job aborts in the write stage and the staged files are never
+    committed.
     """
-    out = shuffle_within_shards(df, key_col, num_shards, seed,
+    checked = df.withColumn(
+        key_col,
+        F.when(
+            F.col(key_col).isNull(),
+            F.raise_error(F.lit(
+                f"write_shuffled_shards: NULL {key_col!r} key — NULL keys "
+                "have no deterministic shard; filter or fill them "
+                "explicitly before writing")),
+        ).otherwise(F.col(key_col)),
+    )
+    out = shuffle_within_shards(checked, key_col, num_shards, seed,
                                 shard_col=shard_col)
     out.write.mode(mode).partitionBy(shard_col).parquet(path)
     back = df.sparkSession.read.parquet(path)

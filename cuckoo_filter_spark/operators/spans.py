@@ -129,13 +129,17 @@ def filter_repeated_spans(
     id_col: str,
     text_col: str,
     max_repeated_frac: float,
+    broadcast_flagged: bool = True,
     **kwargs,
 ) -> DataFrame:
     """The drop composition: corpus minus docs whose repeated-window
     fraction EXCEEDS ``max_repeated_frac``. Docs with no windows
     (< k tokens) pass through — length policy belongs to the quality
     rules, not the dedup pass. One left_anti join against the flagged
-    ids; text never shuffles."""
+    ids; text never shuffles. ``broadcast_flagged=False`` degrades the
+    anti join to a shuffle join when the flagged-id set exceeds
+    executor memory (a pathologically repetitive corpus), mirroring
+    ``broadcast_repeats``."""
     if not (0.0 <= max_repeated_frac <= 1.0):
         raise ValueError(
             f"max_repeated_frac must be in [0, 1], got {max_repeated_frac}")
@@ -143,7 +147,8 @@ def filter_repeated_spans(
     flagged = stats.where(
         F.col("n_repeated") > max_repeated_frac * F.col("n_windows")
     ).select(id_col)
-    return df.join(F.broadcast(flagged), on=id_col, how="left_anti")
+    rhs = F.broadcast(flagged) if broadcast_flagged else flagged
+    return df.join(rhs, on=id_col, how="left_anti")
 
 
 def spans_oracle_exprs(text_sql: str, k: int, stride: int = 1) -> dict[str, str]:

@@ -294,9 +294,10 @@ def main() -> None:
                      "broadcast verify, train corpus never shuffles", ok, p))
 
     # 15. line dedup: both explodes are map-side Generates; repeated-fp
-    # set and removed-idx lists come back as BROADCAST joins; the
-    # keep-first Window runs only on the (tiny) candidate branch; doc
-    # text bodies cross no Exchange
+    # set, keep-first set, and removed-idx lists come back as BROADCAST
+    # joins; keep-first is a PARTIAL-AGG min (no Sort+Window partitioned
+    # by line — a hot boilerplate line map-side-combines instead of
+    # funnelling into one task); doc text bodies cross no Exchange
     from cuckoo_filter_spark.operators.lines import chunk_lines_expr, dedup_lines
 
     docs01 = spark.read.parquet(f"{SF}/documents.parquet").select(
@@ -305,13 +306,18 @@ def main() -> None:
     p = plan_of(ld)
     n_exch = len(re.findall(r"\(\d+\) Exchange", p))
     ok = (
-        p.count("BroadcastHashJoin") >= 2  # dup-fp semi + removed left
-        and "Window" in p and "Generate" in p
-        and n_exch <= 3  # fp count + window sort + removed-per-id agg
+        p.count("BroadcastHashJoin") >= 3  # dup-fp semi + firsts anti + removed left
+        and "Window" not in p and "Generate" in p
+        and "partial_min" in p  # keep-first partial-aggregates map-side
+        # fp count (printed twice: cand feeds both the firsts agg and the
+        # removal anti-join; AQE reuses the exchange at runtime) + firsts
+        # agg + removed-per-id agg
+        and n_exch <= 4
         and "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
     )
-    sections.append(("line dedup: map-side explodes, broadcast fp/removed "
-                     "joins, Window only on candidates", ok, p))
+    sections.append(("line dedup: map-side explodes, broadcast fp/firsts/"
+                     "removed joins, partial-agg keep-first (no hot-line "
+                     "Window)", ok, p))
 
     # 16. repetition signals: pure per-doc projection — ArrowEvalPython
     # over a 2-column pruned scan, ZERO Exchange of any kind

@@ -82,6 +82,17 @@ def test_drop_contaminated(corpora):
     assert kept2 == {2, 4}
 
 
+def test_drop_broadcast_escape_hatch(corpora):
+    train, bench = corpora
+    want = sorted(r["doc_id"] for r in
+                  drop_contaminated(train, "doc_id", "text", bench,
+                                    n=4).collect())
+    got = sorted(r["doc_id"] for r in
+                 drop_contaminated(train, "doc_id", "text", bench, n=4,
+                                   broadcast_flagged=False).collect())
+    assert got == want
+
+
 def test_no_overlap_empty(spark):
     train = spark.createDataFrame([(1, "aa bb cc dd")], ["doc_id", "text"])
     bench = spark.createDataFrame([(9, "ee ff gg hh")], ["doc_id", "text"])

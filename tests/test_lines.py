@@ -94,6 +94,40 @@ def test_chunk_then_dedup_roundtrip(spark):
     assert out[2]["n_lines_removed"] == 2
 
 
+def test_hot_line_at_scale(spark):
+    # one boilerplate line duplicated 10^5 times across docs: the
+    # partial-agg keep-first must survive this without a single-task
+    # Window sort on the line (the r5 scale hazard), and the plan must
+    # contain no Window at all
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("COOKIE BANNER\nunique line "),
+                 F.col("id").cast("string")).alias("text"))
+    out = dedup_lines(df, "text", "doc_id")
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+    agg = out.agg(
+        F.sum("n_lines_removed").alias("removed"),
+        F.sum(F.when(F.col("text").startswith("COOKIE"), 1)
+              .otherwise(0)).alias("keepers")).collect()[0]
+    assert agg["removed"] == n - 1   # every copy but doc 0's removed
+    assert agg["keepers"] == 1
+
+
+def test_broadcast_escape_hatches_identical(spark):
+    df = _df(spark, [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),
+        (3, "gamma\nbeta\nalpha"),
+        (4, "delta\nalpha"),
+    ])
+    want = sorted(tuple(r) for r in dedup_lines(df, "text", "doc_id").collect())
+    got = sorted(tuple(r) for r in dedup_lines(
+        df, "text", "doc_id",
+        broadcast_removed=False, broadcast_firsts=False).collect())
+    assert got == want
+
+
 def test_validation(spark):
     df = _df(spark, [(1, "a")])
     with pytest.raises(ValueError, match="min_chars"):

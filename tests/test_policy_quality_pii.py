@@ -176,6 +176,22 @@ def test_blocklist_guards(pages_df):
     assert blocklist_filter(pages_df, "url", []).count() == len(PAGES)
 
 
+def test_blocklist_internal_name_collisions_raise(spark, pages_df):
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    with pytest.raises(ValueError, match="__host"):
+        blocklist_filter(pages_df.withColumn("__host", F.lit("x")), "url", bl)
+    with pytest.raises(ValueError, match="__suf"):
+        blocklist_filter(pages_df.withColumn("__suf", F.lit("x")), "url", bl)
+    with pytest.raises(ValueError, match="__dom"):
+        blocklist_filter(pages_df, "url",
+                         bl.withColumn("__dom", F.lit("x")))
+    # naming the blocklist column itself '__dom' is fine (no collision)
+    ok = blocklist_filter(
+        pages_df, "url",
+        bl.withColumnRenamed("domain", "__dom"), domain_col="__dom")
+    assert ok.columns == pages_df.columns
+
+
 # ---------------------------------------------------------------------------
 # gopher quality rules
 # ---------------------------------------------------------------------------

@@ -134,3 +134,15 @@ def test_write_shuffled_shards(spark, keys_df, tmp_path):
     m2 = write_shuffled_shards(keys_df, path, "k", 8, seed="w",
                                mode="overwrite")
     assert m2 == m
+
+
+def test_write_null_key_fails_loud(spark, tmp_path):
+    from cuckoo_filter_spark.operators.shuffle import write_shuffled_shards
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    path = str(tmp_path / "nulls")
+    with pytest.raises(Exception, match="NULL 'k' key"):
+        write_shuffled_shards(df, path, "k", 4)
+    # nothing was committed — no parquet part files on disk
+    import pathlib
+    assert not any(pathlib.Path(path).rglob("*.parquet"))

@@ -108,6 +108,16 @@ def test_filter_composition(df):
         {i for i, _ in CORPUS} - want_drop)
 
 
+def test_filter_broadcast_escape_hatch(df):
+    # broadcast_flagged=False (shuffle anti join) must be output-identical
+    want = sorted(r["id"] for r in
+                  filter_repeated_spans(df, "id", "text", 0.5, k=2).collect())
+    got = sorted(r["id"] for r in
+                 filter_repeated_spans(df, "id", "text", 0.5, k=2,
+                                       broadcast_flagged=False).collect())
+    assert got == want
+
+
 def test_guards(df):
     for bad in (0, -1):
         with pytest.raises(ValueError, match="k must"):
