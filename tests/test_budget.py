@@ -139,3 +139,77 @@ def test_internal_column_collision_guards(df):
     with pytest.raises(ValueError, match="already exists"):
         take_until_budget(df, ["grp"], ["rank"], "amount", 1,
                           running_col="amount")
+
+
+# -------------------------------------------------------------------------
+# threshold pre-pass (two-pass mitigation of the one-task-per-group bound)
+# -------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def big_df(spark):
+    # two groups x 5000 rows; amounts vary so bucket sums are irregular
+    return spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("grp"),
+        F.col("id").alias("rank"),
+        (F.col("id") % 7 + 1).alias("amount"),
+    )
+
+
+@pytest.mark.parametrize("policy", ["strict", "straddle"])
+@pytest.mark.parametrize("budget", [0, 37, 500, 10**9])
+def test_prepass_selection_identical(big_df, policy, budget):
+    base = sorted(r["id"] for r in take_until_budget(
+        big_df, ["grp"], ["rank", "id"], "amount", budget,
+        policy=policy).collect())
+    pre = sorted(r["id"] for r in take_until_budget(
+        big_df, ["grp"], ["rank", "id"], "amount", budget, policy=policy,
+        prepass_on="rank", prepass_buckets=16).collect())
+    assert pre == base
+
+
+def test_prepass_actually_discards(big_df):
+    # the pre-pass must shrink the window input: count the rows that
+    # survive the threshold filter (run the prepass alone)
+    from cuckoo_filter_spark.operators.budget import _budget_prepass
+
+    survivors = _budget_prepass(
+        big_df, ["grp"], "rank", F.col("amount"), 500, 16).count()
+    assert survivors < 10_000 / 4  # far-tail discarded map-side
+    # and the full operator still selects from the survivors only
+    kept = take_until_budget(big_df, ["grp"], ["rank", "id"], "amount",
+                             500, prepass_on="rank").count()
+    assert kept <= survivors
+
+
+def test_prepass_zero_amount_group_kept_whole(spark):
+    # all-zero amounts + zero budget: strict keeps EVERY row (run==0);
+    # a >=-based cutoff would clip to the first bucket — regression pin
+    df0 = spark.range(1000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("rank"),
+        F.lit(0).alias("amount"), "id")
+    got = take_until_budget(df0, ["grp"], ["rank"], "amount", 0,
+                            prepass_on="rank", prepass_buckets=8)
+    assert got.count() == 1000
+
+
+def test_prepass_guards(spark, big_df):
+    with pytest.raises(ValueError, match="scalar budget"):
+        take_until_budget(big_df, ["grp"], ["rank"], "amount",
+                          F.lit(10), prepass_on="rank")
+    with pytest.raises(ValueError, match="order_by\\[0\\]"):
+        take_until_budget(big_df, ["grp"], ["id", "rank"], "amount", 10,
+                          prepass_on="rank")
+    with pytest.raises(ValueError, match="order_by\\[0\\]"):
+        take_until_budget(big_df, ["grp"], [F.col("rank")], "amount", 10,
+                          prepass_on="rank")
+    with pytest.raises(ValueError, match="prepass_buckets"):
+        take_until_budget(big_df, ["grp"], ["rank"], "amount", 10,
+                          prepass_on="rank", prepass_buckets=1)
+    nullkey = spark.createDataFrame(
+        [(0, "a", None, 5), (1, "a", 2, 5)],
+        "id long, grp string, rank int, amount long")
+    with pytest.raises(Exception, match="NULL 'rank'"):
+        take_until_budget(nullkey, ["grp"], ["rank"], "amount", 10,
+                          prepass_on="rank").collect()
