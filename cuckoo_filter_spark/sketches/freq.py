@@ -19,7 +19,7 @@ contract, which is what the oracle checks).
 
 Exact mode: with fewer than k distinct items no trim ever fires,
 ``offset == 0``, and the counters are exact frequencies — the regime
-the contract query runs in (like theta_set_ops), while pytest pins the
+the contract query runs in (like set_ops' theta rows), while pytest pins the
 estimation-mode bounds on skewed data.
 
 Item identity is ``str(value)`` (pre-stringified in update), matching

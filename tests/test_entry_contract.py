@@ -76,4 +76,4 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert df.columns == ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]
+    assert df.columns == ["layout", "grp", "n_rows", "sum_qty"]
