@@ -440,6 +440,27 @@ def main() -> None:
                      "running-sum Window + codegen filter, zero Python",
                      ok, p))
 
+    # 21b. budget selection WITH the threshold pre-pass: both pre-pass
+    # passes are PARTIAL aggregations (percentile_approx boundaries,
+    # per-bucket sums — hot groups combine map-side), the boundary and
+    # threshold frames come back as BROADCAST joins, and the exact
+    # running-sum window runs on the filtered prefix — zero Python
+    sel_pp = take_until_budget(
+        docs2.select("doc_id", "lang", "n_chars"), ["lang"],
+        ["n_chars", "doc_id"], "n_chars", 50_000,
+        prepass_on="n_chars", prepass_buckets=16)
+    p = plan_of(sel_pp)
+    ok = (
+        "partial_percentile_approx" in p  # pass 1 partial-aggs
+        and p.count("BroadcastHashJoin") >= 2  # bounds + threshold joins
+        and "Python" not in p
+        and "Window" in p
+        and "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    )
+    sections.append(("budget prepass: partial-agg quantile + bucket-sum "
+                     "passes, broadcast threshold join, exact Window on "
+                     "the prefix, zero Python", ok, p))
+
     # 22. overlapping token chunking: a map-side Generate inside the
     # scan stage — zero Exchange, zero Python, scan pruned to the two
     # used columns
