@@ -93,10 +93,18 @@ def _budget_prepass(
     bounds = df.groupBy(*gc).agg(
         F.percentile_approx(prepass_on, qs, 10_000).alias("__qb"))
     bkt = F.size(F.filter(F.col("__qb"), lambda q: q < F.col(prepass_on)))
+    # __qb is CARRIED through the aggregations rather than re-joined from
+    # `bounds`: percentile_approx's reduce-side merge is fetch-order-
+    # sensitive, so a second evaluation of `bounds` (plan branch reuse is
+    # not guaranteed, and retries recompute) could yield a slightly
+    # different boundary array than the one that bucketed the rows —
+    # cut index and threshold value MUST come from the same array or the
+    # superset proof above does not hold.
     sums = (
         df.join(F.broadcast(bounds), on=gc)
         .groupBy(*gc, bkt.alias("__bkt"))
-        .agg(F.sum(checked_amount).alias("__s"))
+        .agg(F.sum(checked_amount).alias("__s"),
+             F.first("__qb").alias("__qb"))
     )
     wcum = (
         Window.partitionBy(*gc).orderBy("__bkt")
@@ -105,13 +113,13 @@ def _budget_prepass(
     cut = (
         sums.withColumn("__cum", F.sum("__s").over(wcum))
         .where(F.col("__cum") > budget)
-        .groupBy(*gc).agg(F.min("__bkt").alias("__cut"))
+        .groupBy(*gc).agg(F.min("__bkt").alias("__cut"),
+                          F.first("__qb").alias("__qb"))
     )
     # boundary VALUE = element cut+1 (1-based) of the B-1 boundaries;
     # cut >= B-1 (or no crossing) -> no threshold -> group keeps all
     thr = (
         cut.where(F.col("__cut") < len(qs))
-        .join(bounds, on=gc)
         .select(*gc, F.element_at(
             "__qb", F.col("__cut").cast("int") + 1).alias("__thr"))
     )

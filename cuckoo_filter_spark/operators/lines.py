@@ -23,11 +23,15 @@ Shape at 100 TB — the text bodies never shuffle:
    a pure JVM indexed-lambda filter over ``split(text)``. Docs with no
    removals pass through untouched, un-shuffled.
    ``broadcast_removed=False`` degrades that join to a shuffle join for
-   C4-scale removal sets (a large fraction of all docs); likewise
-   ``broadcast_firsts=False`` shuffle-joins the firsts when the
-   distinct-repeated-line set exceeds executor memory — the composite
+   C4-scale removal sets (a large fraction of all docs). The firsts
+   anti-join is deliberately NOT broadcast-forced by default: firsts
+   carries one row of LINE TEXT per distinct repeated line — unbounded
+   at corpus scale — so AQE picks broadcast at runtime when the set is
+   actually tiny and degrades to a shuffle join when it is not (same
+   convention as policy.py's blocked-host join); the composite
    ``(line, id, idx)`` join key spreads hot lines across partitions, so
-   the fallback stays skew-safe.
+   the shuffle fallback stays skew-safe. ``broadcast_firsts=True``
+   force-pins the broadcast for plan-stability-sensitive callers.
 
 The double map-side explode (steps 1 and 2 both re-run the scan
 projection) is the same deliberate re-read-vs-materialize trade
@@ -71,7 +75,7 @@ def dedup_lines(
     sep: str = "\n",
     min_chars: int = 1,
     broadcast_removed: bool = True,
-    broadcast_firsts: bool = True,
+    broadcast_firsts: bool = False,
 ) -> DataFrame:
     """Keep-first global line dedup: among lines whose trimmed length is
     >= ``min_chars``, every distinct line string keeps ONLY its first

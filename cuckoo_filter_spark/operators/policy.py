@@ -109,10 +109,9 @@ def blocklist_filter(
         raise ValueError(
             f"input column(s) {clash} collide with blocklist_filter's "
             "internal names")
-    if "__dom" in blocklist.columns and domain_col != "__dom":
-        raise ValueError(
-            "blocklist column '__dom' collides with the internal "
-            "normalized-domain name")
+    # no blocklist-side '__dom' guard: the select-with-alias below
+    # produces a single-column frame, so an unrelated '__dom' column in
+    # the blocklist never becomes ambiguous
     dom = (blocklist.select(normalize_domain(domain_col).alias("__dom"))
            .where(F.length("__dom") > 0).dropDuplicates())
     with_host = df.withColumn("__host", host)

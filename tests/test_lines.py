@@ -122,9 +122,10 @@ def test_broadcast_escape_hatches_identical(spark):
         (4, "delta\nalpha"),
     ])
     want = sorted(tuple(r) for r in dedup_lines(df, "text", "doc_id").collect())
+    # flip BOTH non-default sides: shuffle-join removed, force-broadcast firsts
     got = sorted(tuple(r) for r in dedup_lines(
         df, "text", "doc_id",
-        broadcast_removed=False, broadcast_firsts=False).collect())
+        broadcast_removed=False, broadcast_firsts=True).collect())
     assert got == want
 
 

@@ -182,14 +182,17 @@ def test_blocklist_internal_name_collisions_raise(spark, pages_df):
         blocklist_filter(pages_df.withColumn("__host", F.lit("x")), "url", bl)
     with pytest.raises(ValueError, match="__suf"):
         blocklist_filter(pages_df.withColumn("__suf", F.lit("x")), "url", bl)
-    with pytest.raises(ValueError, match="__dom"):
-        blocklist_filter(pages_df, "url",
-                         bl.withColumn("__dom", F.lit("x")))
-    # naming the blocklist column itself '__dom' is fine (no collision)
+    # an unrelated '__dom' column in the blocklist is harmless: the
+    # internal select-with-alias produces a single-column frame
     ok = blocklist_filter(
+        pages_df, "url", bl.withColumn("__dom", F.lit("x")))
+    assert sorted(r["id"] for r in ok.collect()) == \
+        sorted(r["id"] for r in blocklist_filter(pages_df, "url", bl).collect())
+    # naming the blocklist column itself '__dom' is fine too
+    ok2 = blocklist_filter(
         pages_df, "url",
         bl.withColumnRenamed("domain", "__dom"), domain_col="__dom")
-    assert ok.columns == pages_df.columns
+    assert ok2.columns == pages_df.columns
 
 
 # ---------------------------------------------------------------------------
