@@ -169,6 +169,31 @@ def test_prepass_selection_identical(big_df, policy, budget):
     assert pre == base
 
 
+@pytest.mark.parametrize("policy", ["strict", "straddle"])
+def test_prepass_adversarial_distributions(spark, policy):
+    """Boundary-logic stressors: (a) ALL order keys tied (every row in
+    bucket 0 — threshold must never clip mid-tie), (b) one huge amount
+    among trivial ones (cutoff lands immediately), (c) singleton
+    groups, (d) two-valued keys with buckets >> distinct values
+    (duplicate quantile boundaries)."""
+    rows = (
+        [(i, "tied", 7, 3) for i in range(200)]
+        + [(1000, "big", 1, 10**6), (1001, "big", 2, 1), (1002, "big", 3, 1)]
+        + [(2000, "solo", 5, 42)]
+        + [(3000 + i, "twoval", i % 2, 5) for i in range(100)]
+    )
+    df = spark.createDataFrame(
+        rows, "id long, grp string, rank int, amount long")
+    for budget in (0, 10, 300, 10**7):
+        base = sorted(r["id"] for r in take_until_budget(
+            df, ["grp"], ["rank", "id"], "amount", budget,
+            policy=policy).collect())
+        pre = sorted(r["id"] for r in take_until_budget(
+            df, ["grp"], ["rank", "id"], "amount", budget, policy=policy,
+            prepass_on="rank", prepass_buckets=32).collect())
+        assert pre == base, (policy, budget)
+
+
 def test_prepass_actually_discards(big_df):
     # the pre-pass must shrink the window input: count the rows that
     # survive the threshold filter (run the prepass alone)
