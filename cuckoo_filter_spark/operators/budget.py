@@ -44,6 +44,15 @@ the whole group. The pre-pass is a PREFIX-CLOSED SUPERSET filter
 (proof in ``_budget_prepass``), so the selection is bit-identical —
 the oracle predicate is unchanged.
 
+Pre-pass regime: FEW, HUGE groups (a global budget, a handful of
+per-language quotas) — exactly the case where the one-task bound
+bites. Its boundary/threshold frames hold one row per group
+(``prepass_buckets``-1 doubles each) and are broadcast, so a
+many-small-groups workload (per-host quotas over 10⁸ hosts) should
+NOT enable the pre-pass: each group is already tiny there, the exact
+window is already parallel across groups, and the broadcast would be
+the new bottleneck.
+
 Reference scope note: linvon/cuckoo-filter has no selection surface;
 grafted LLM-pipeline scope, sibling of operators/sampling.py (which
 handles the RATE-based mixture; this is the QUOTA-based one).
