@@ -129,6 +129,40 @@ def test_broadcast_escape_hatches_identical(spark):
     assert got == want
 
 
+def test_randomized_bruteforce_parity(spark):
+    # seeded random corpus vs a direct python keep-first recompute —
+    # lines drawn from a tiny alphabet so cross-doc repeats, within-doc
+    # repeats, blanks, and short lines all occur
+    import random
+
+    rng = random.Random(0xC6)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "", "  ", "longer line"]
+    docs = []
+    for i in range(120):
+        n = rng.randint(0, 6)
+        docs.append((i, "\n".join(rng.choice(vocab) for _ in range(n))))
+
+    min_chars = 2
+    seen, want = set(), {}
+    for i, text in docs:
+        kept, removed = [], 0
+        for line in text.split("\n"):
+            if len(line.strip()) < min_chars:
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+            else:
+                removed += 1
+        want[i] = ("\n".join(kept), removed)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup_lines(df, "text", "doc_id", min_chars=min_chars)
+    got = {r["doc_id"]: (r["text"], r["n_lines_removed"])
+           for r in out.collect()}
+    assert got == want
+
+
 def test_validation(spark):
     df = _df(spark, [(1, "a")])
     with pytest.raises(ValueError, match="min_chars"):
