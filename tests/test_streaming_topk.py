@@ -87,6 +87,50 @@ def test_windowed_frequent_items_end_to_end(spark, tmp_path):
     assert all(lo == hi for lo, hi in got.values())  # k=64 ⇒ exact
 
 
+def test_checkpoint_restart_recovers_state(spark, tmp_path):
+    """MG blob state must survive a query restart from the checkpoint:
+    batch 2 (new process-equivalent: fresh query object, same
+    checkpointLocation) accumulates into the SAME window's sketch, so
+    the final snapshot counts span both runs."""
+    from cuckoo_filter_spark.streaming.topk import windowed_frequent_items
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+    base = pd.Timestamp("2025-01-01")
+
+    def write(name, items, offset):
+        rows = [(base + pd.Timedelta(seconds=offset + i), it)
+                for i, it in enumerate(items)]
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "it"])).write.parquet(
+            f"{src}/{name}.parquet")
+
+    def run_once():
+        # foreachBatch: the memory sink cannot recover from a
+        # checkpoint — collect emissions driver-side instead
+        rows = []
+        stream = spark.readStream.schema("ts timestamp, it string").parquet(
+            src + "/*.parquet")
+        out = windowed_frequent_items(stream, "ts", "it", window="1 hour",
+                                      watermark="2 hours", k=64, min_count=1)
+        q = (out.writeStream
+             .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return rows
+
+    write("b0", ["a"] * 4 + ["b"] * 2, offset=0)
+    run_once()
+    write("b1", ["a"] * 3 + ["c"] * 5, offset=100)  # same hour-0 window
+    rows2 = run_once()  # second run sees ONLY the new file's batch
+    got = {r["item"]: (r["count_lo"], r["count_hi"]) for r in rows2}
+    # counts ACCUMULATE across the restart (blob recovered, not rebuilt)
+    assert got["a"] == (7, 7) and got["b"] == (2, 2) and got["c"] == (5, 5)
+
+
 def test_tws_gate_without_protobuf(spark):
     from cuckoo_filter_spark.streaming.topk import windowed_frequent_items
 
