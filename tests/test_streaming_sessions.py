@@ -162,6 +162,52 @@ def test_streaming_sessionize_finalizes_and_holds_tail(spark, tmp_path):
     ]
 
 
+def test_streaming_sessionize_checkpoint_restart(spark, tmp_path):
+    """Open-session state must recover from the checkpoint across query
+    restarts: run 1 leaves u1's session OPEN (nothing emitted), run 2
+    (fresh query, same checkpointLocation) extends it and then closes
+    it — the finalized session must span BOTH runs' events."""
+    from cuckoo_filter_spark.streaming.sessions import streaming_sessionize
+
+    t0 = pd.Timestamp("2025-01-01")
+    us0 = int(t0.timestamp()) * US
+
+    def ts(s):
+        return t0 + pd.Timedelta(seconds=s)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+
+    def write(name, rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "uid"])).coalesce(1) \
+            .write.parquet(f"{src}/{name}.parquet")
+
+    def run_once():
+        rows = []
+        stream = spark.readStream.schema("ts timestamp, uid string").parquet(
+            src + "/*.parquet")
+        out = streaming_sessionize(stream, "uid", "ts", 60.0,
+                                   watermark="10 seconds")
+        q = (out.writeStream
+             .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return rows
+
+    write("b0", [(ts(0), "u1"), (ts(10), "u1")])
+    assert run_once() == []  # session still open — exactly-once holds
+    # extend the SAME session (30-10=20s < 60s gap), then jump far
+    # ahead so the watermark closes it
+    write("b1", [(ts(30), "u1"), (ts(100000), "u1")])
+    got = [(r.uid, r.session_start_us, r.session_end_us, r.n_events)
+           for r in run_once()]
+    assert got == [("u1", us0, us0 + 30 * US, 3)]
+
+
 def test_streaming_sessionize_out_of_order_merges(spark, tmp_path):
     t0 = pd.Timestamp("2025-01-01")
 
