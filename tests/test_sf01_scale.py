@@ -21,7 +21,7 @@ def duck01():
 
 
 @pytest.mark.parametrize("name", ["delete_workload", "cuckoo_semi_join",
-                                  "near_dup_pairs",
+                                  "near_dup_pairs", "sharded_semi_join",
                                   "distinct_users", "grouped_lang_distinct",
                                   "grouped_incremental_dedup",
                                   "near_dup_clusters", "content_hash_dedup",
