@@ -77,17 +77,36 @@ def chunk_tokens(
     no rows (join back on id when empties matter). Chunk text re-joins
     its tokens with single spaces (tokenization is whitespace-lossy by
     contract — same as every consumer of tokens_expr)."""
-    _check(k, overlap)
+    stride = _check(k, overlap)
     for c in (chunk_idx_col, chunk_col, n_tokens_col):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists in input")
-    if id_col in (chunk_idx_col, chunk_col, n_tokens_col, "__start"):
+    out_names = (chunk_idx_col, chunk_col, n_tokens_col, "__start", "__toks")
+    if id_col in out_names:
         raise ValueError(f"id_col {id_col!r} collides with output names")
+    if chunk_idx_col in ("__start", "__toks") or \
+            len({chunk_idx_col, chunk_col, n_tokens_col}) != 3:
+        raise ValueError(
+            "chunk output column names must be distinct and must not use "
+            "the internal names '__start'/'__toks'")
     toks = tokens_expr(text_col)
-    out = df.select(
-        F.col(id_col), toks.alias("__toks"),
-        F.posexplode(chunk_starts_expr(text_col, k, overlap))
-        .alias(chunk_idx_col, "__start"),
+    # starts derived from the PROJECTED token array (size-based), not by
+    # re-splitting the text inside the Generate — tokens_expr's regex
+    # split of the full document runs once per row in the scan stage
+    with_toks = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    n_extra = F.ceil((n - F.lit(k)).cast("double") / F.lit(stride)).cast("int")
+    starts = (
+        F.when(n == 0, F.array().cast("array<int>"))
+        .when(n <= k, F.array(F.lit(0)))
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), n_extra),
+            lambda i: F.least(i * F.lit(stride), n - F.lit(k)),
+        ).cast("array<int>"))
+    )
+    out = with_toks.select(
+        F.col(id_col), F.col("__toks"),
+        F.posexplode(starts).alias(chunk_idx_col, "__start"),
     )
     chunk = F.slice(F.col("__toks"), F.col("__start") + 1, k)
     return out.select(

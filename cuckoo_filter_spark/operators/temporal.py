@@ -144,8 +144,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     (``allow_exact_match=False``: strictly before) the left timestamp;
     ``'forward'``: the earliest at-or-after (resp. strictly after).
     Unmatched left rows keep NULL payloads (left outer semantics, like
-    ``pandas.merge_asof``). ``tolerance_seconds`` bounds the match
-    distance; farther matches become NULL.
+    ``pandas.merge_asof``) — EXCEPT left rows with a NULL ``on`` key or
+    NULL ``left_ts``, which are DROPPED (a NULL key matches nothing and
+    cannot ride the key-partitioned window; same exclusion rule as
+    sessionize — pre-filter or fill them upstream if they must
+    survive). ``tolerance_seconds`` bounds the match distance; farther
+    matches become NULL.
 
     ``matched_ts_col`` always carries the matched right row's epoch
     micros (bigint, NULL when unmatched) — deterministic even when
@@ -169,6 +173,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     missing = [c for c in payload_cols if c not in right.columns]
     if missing:
         raise ValueError(f"payload_cols not in right: {missing}")
+    if "us" in payload_cols:
+        raise ValueError(
+            "payload column 'us' collides with the internal match-struct "
+            "field; rename it on the right side first")
+    if matched_ts_col in payload_cols:
+        raise ValueError(
+            f"matched_ts_col {matched_ts_col!r} duplicates a payload "
+            "column name")
     internal = ("__us", "__side", "__match", "__m")
     clash = [c for c in (*payload_cols, matched_ts_col, *internal)
              if c in left.columns]
@@ -181,7 +193,6 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # sign: forward is backward on the reversed time axis
     sign = -1 if direction == "forward" else 1
     l_us = (ts_micros(left, left_ts) * sign).alias("__us")
-    r_us = (ts_micros(right, right_ts) * sign).alias("__us")
 
     # the whole candidate match rides in ONE struct (__match): the struct
     # is non-null for every right row even when its payload FIELDS are

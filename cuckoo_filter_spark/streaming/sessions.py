@@ -224,6 +224,17 @@ def _sessionize_tws(prepped: DataFrame, key_col: str, gap_us: int,
             self._handle = handle
             self._st = handle.getValueState("sessions", STATE_SCHEMA)
 
+        def _rearm(self, ts_ms: int) -> None:
+            # unlike the apply path's setTimeoutTimestamp (which
+            # REPLACES), tws timers are keyed (group, timestamp) —
+            # session extension shifts the expiry every batch, and the
+            # superseded timers would pile up one per batch and each
+            # fire a spurious handleExpiredTimer pass; delete them first
+            for t in self._handle.listTimers():
+                if t != ts_ms:
+                    self._handle.deleteTimer(t)
+            self._handle.registerTimer(ts_ms)
+
         def _emit(self, key, final) -> pd.DataFrame:
             return pd.DataFrame({
                 key_col: [key[0]] * len(final),
@@ -242,8 +253,7 @@ def _sessionize_tws(prepped: DataFrame, key_col: str, gap_us: int,
                 starts, ends, counts, gap_us, wm_us)
             if keep[0]:
                 self._st.update(keep)
-                self._handle.registerTimer(
-                    (min(keep[1]) + gap_us) // 1000 + 1)
+                self._rearm((min(keep[1]) + gap_us) // 1000 + 1)
             elif self._st.exists():
                 self._st.clear()
             if final:
@@ -259,8 +269,7 @@ def _sessionize_tws(prepped: DataFrame, key_col: str, gap_us: int,
                 list(starts), list(ends), list(counts), gap_us, wm_us)
             if keep[0]:
                 self._st.update(keep)
-                self._handle.registerTimer(
-                    (min(keep[1]) + gap_us) // 1000 + 1)
+                self._rearm((min(keep[1]) + gap_us) // 1000 + 1)
             else:
                 self._st.clear()
             if final:

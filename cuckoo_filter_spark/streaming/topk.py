@@ -97,6 +97,13 @@ def windowed_frequent_items(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     window_ms = int(pd.Timedelta(window).total_seconds() * 1000)
     tz = stream_df.sparkSession.conf.get("spark.sql.session.timeZone")
+    # stringify JVM-side: batch-composition-independent item identity —
+    # an integral column with NULLs in SOME micro-batches would reach
+    # pandas as float64 there ("402.0") and int64 elsewhere ("402"),
+    # silently splitting one item's count across two MG keys (the
+    # int-with-nulls hazard sketches/freq.py documents; the oracle
+    # CASTs to VARCHAR, which Spark's cast matches for integers)
+    stream_df = stream_df.withColumn(item_col, F.col(item_col).cast("string"))
     windowed = _windowed(stream_df, ts_col, window, watermark)
     if api == "tws":
         return _topk_tws(windowed, item_col, k, min_count, window_ms, tz)

@@ -86,10 +86,18 @@ def _window_end_ms(window_start, window_ms: int, tz: str) -> int:
     before the state function, and every row of W has ts < we, so no
     row for W can arrive after that. The session timezone is captured
     at PLAN time and shipped in the closure — the naive window key the
-    worker receives is rendered in that zone."""
+    worker receives is rendered in that zone.
+
+    DST: the naive rendering is lossy — on fall-back days two distinct
+    windows share one naive wall-clock key, and spring-forward keys may
+    not exist. Eviction only needs a timestamp >= the true window end
+    (late eviction holds state ≤1 h longer; EARLY eviction would drop a
+    live window), so resolve ambiguity to the LATER instant
+    (``ambiguous=False`` = standard time) and shift nonexistent times
+    forward."""
     ts = pd.Timestamp(window_start)
     if ts.tzinfo is None:
-        ts = ts.tz_localize(tz)
+        ts = ts.tz_localize(tz, ambiguous=False, nonexistent="shift_forward")
     return int(ts.timestamp() * 1000) + window_ms
 
 
@@ -121,6 +129,13 @@ def windowed_distinct_count(
         raise ValueError(f"unknown api {api!r}")
     window_ms = int(pd.Timedelta(window).total_seconds() * 1000)
     tz = stream_df.sparkSession.conf.get("spark.sql.session.timeZone")
+    # stringify the key JVM-side: a micro-batch mixing NULLs into an
+    # integral column reaches pandas as float64 ("402.0") while a
+    # null-free batch arrives int64 ("402") — the same key would count
+    # as TWO distinct values depending on batch composition (the
+    # int-with-nulls identity hazard sketches/freq.py documents).
+    # Spark's cast renders one canonical string per value.
+    stream_df = stream_df.withColumn(key_col, F.col(key_col).cast("string"))
     windowed = _windowed(stream_df, ts_col, window, watermark)
     if api == "tws":
         return _windowed_tws(windowed, key_col, p, window_ms, tz)
