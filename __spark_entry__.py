@@ -2443,7 +2443,7 @@ def oracle_sql() -> dict[str, str]:
                        END AS n_tokens,
                        length(tx) AS n_chars,
                        length(tx) - length(regexp_replace(
-                           tx, '[^\\w\\s]', '', 'g')) AS n_punct,
+                           tx, '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS n_punct,
                        (CASE WHEN regexp_matches(lower(tx), '\\bthe\\b')
                              THEN 1 ELSE 0 END
                         + CASE WHEN regexp_matches(lower(tx), '\\band\\b')

@@ -50,11 +50,15 @@ def _col(c) -> Column:
 def _kinds(kinds) -> list[str]:
     if kinds is None:
         return list(PII_PATTERNS)
+    # materialize FIRST: a generator argument would be exhausted by the
+    # validation comprehension and list(kinds) would then be [] — every
+    # pii function would silently no-op (redact nothing, count nothing)
+    kinds = list(kinds)
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
         raise ValueError(
             f"unknown PII kinds {unknown}; known: {list(PII_PATTERNS)}")
-    return list(kinds)
+    return kinds
 
 
 def pii_count_exprs(col, kinds=None) -> dict[str, Column]:

@@ -59,7 +59,13 @@ def quality_features(col: str | Column) -> dict[str, Column]:
     n_tokens = token_count_expr(c).cast("double")
     safe_chars = F.greatest(n_chars, F.lit(1.0))
     safe_tokens = F.greatest(n_tokens, F.lit(1.0))
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    # "symbol" = not a letter/digit/underscore/whitespace IN ANY SCRIPT:
+    # bare \w is ASCII-only in BOTH Java regex and RE2, so [^\w\s] would
+    # count every CJK/Cyrillic/accented character as a symbol and the
+    # Gopher symbol-ratio rule would drop whole languages. \p{L}/\p{N}
+    # are supported identically by both dialects (parity-safe).
+    n_punct = n_chars - F.length(
+        F.regexp_replace(c, r"[^\p{L}\p{N}_\s]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))
     lowered = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
     n_stop = sum(

@@ -36,10 +36,15 @@ UNICODE_SPACES_PATTERN = (
 
 # A line is boilerplate when it matches ANY of these (case-insensitive
 # via (?i) — supported by both dialects). Deliberately small + literal:
-# corpus-specific lists are passed by the caller.
+# corpus-specific lists are passed by the caller. The gap between the
+# anchor words is spelled [^\n]* and NOT '.*': bare '.' is OUTSIDE the
+# Java∩RE2 subset — Java '.' excludes \r, \x{0085}, \x{2028},
+# \x{2029} while
+# RE2 '.' excludes only \n, so a stray-\r line ('cookies\rconsent')
+# would match in DuckDB but not in Spark. [^\n] is identical in both.
 BOILERPLATE_LINE_PATTERNS: tuple[str, ...] = (
-    r"(?i)\bcookies?\b.*\b(consent|policy|accept|use|uses|using)\b",
-    r"(?i)\b(consent|policy|accept|use|uses|using)\b.*\bcookies?\b",
+    r"(?i)\bcookies?\b[^\n]*\b(consent|policy|accept|use|uses|using)\b",
+    r"(?i)\b(consent|policy|accept|use|uses|using)\b[^\n]*\bcookies?\b",
     r"(?i)^\s*copyright\b|^\s*\x{00A9}",
     r"(?i)\ball rights reserved\b",
     r"(?i)^\s*(home|about( us)?|contact( us)?|privacy policy|"
@@ -69,6 +74,22 @@ def collapse_whitespace(col) -> Column:
     return F.trim(F.regexp_replace(_col(col), r"\s+", " "))
 
 
+def _hit_expr(line: Column, patterns: tuple[str, ...]) -> Column:
+    """ONE definition of "this line is boilerplate" — the stripper and
+    the audit counter both use it (negated vs not), so they can never
+    drift apart."""
+    hit = F.lit(False)
+    for p in patterns:
+        hit = hit | line.rlike(p)
+    return hit
+
+
+def _check_patterns(patterns) -> None:
+    if not patterns:
+        raise ValueError("patterns must be non-empty (pass "
+                         "BOILERPLATE_LINE_PATTERNS or your own list)")
+
+
 def strip_boilerplate_lines(
     col,
     patterns: tuple[str, ...] = BOILERPLATE_LINE_PATTERNS,
@@ -76,18 +97,10 @@ def strip_boilerplate_lines(
     """Drop every line matching any pattern; surviving lines re-join
     with ``\\n``. Bounded per-row array logic (JVM ``filter``), never an
     explode. NULL text stays NULL."""
-    if not patterns:
-        raise ValueError("patterns must be non-empty (pass "
-                         "BOILERPLATE_LINE_PATTERNS or your own list)")
+    _check_patterns(patterns)
     lines = F.split(_col(col), r"\n")
-
-    def keep(line: Column) -> Column:
-        hit = F.lit(False)
-        for p in patterns:
-            hit = hit | line.rlike(p)
-        return ~hit
-
-    return F.array_join(F.filter(lines, keep), "\n")
+    return F.array_join(
+        F.filter(lines, lambda x: ~_hit_expr(x, patterns)), "\n")
 
 
 def boilerplate_lines_removed(
@@ -96,17 +109,10 @@ def boilerplate_lines_removed(
 ) -> Column:
     """How many lines :func:`strip_boilerplate_lines` would drop
     (bigint; NULL text -> NULL) — the audit counter."""
-    if not patterns:
-        raise ValueError("patterns must be non-empty")
+    _check_patterns(patterns)
     lines = F.split(_col(col), r"\n")
-
-    def is_hit(line: Column) -> Column:
-        hit = F.lit(False)
-        for p in patterns:
-            hit = hit | line.rlike(p)
-        return hit
-
-    return F.size(F.filter(lines, is_hit)).cast("bigint")
+    return F.size(
+        F.filter(lines, lambda x: _hit_expr(x, patterns))).cast("bigint")
 
 
 def normalize_text(col, *, lowercase: bool = False) -> Column:

@@ -35,9 +35,12 @@ def pack_greedy(df: DataFrame, key_col: str, token_col: str,
     """Assign each row a 0-based ``out_col`` bin within its key.
 
     ``token_col`` must be a non-negative integral token count; rows
-    with NULL key, NULL/negative token counts raise at runtime via an
-    ANSI-safe guard (a negative count would silently break the
-    prefix-sum monotonicity and corrupt every later bin in the key).
+    with NULL/negative token counts raise at runtime via an ANSI-safe
+    guard (a negative count would silently break the prefix-sum
+    monotonicity and corrupt every later bin in the key). Rows with a
+    NULL key are DROPPED, not raised — a NULL key has no bin sequence
+    to join; pre-filter or fill upstream if those rows must survive
+    (same exclusion rule as temporal.sessionize / asof_join).
     Zero-token rows are kept (they join the bin at their offset).
     ``order_cols`` must totally order rows within a key (e.g. a unique
     doc id) — determinism contract as in temporal.sessionize.

@@ -134,11 +134,15 @@ class MGSketch:
     def from_bytes(cls, data: bytes) -> "MGSketch":
         if data[:4] != cls._MAGIC:
             raise ValueError("not a misra-gries sketch blob")
+        if len(data) < 4 + 24:
+            raise ValueError("truncated misra-gries sketch blob")
         k, offset, n_items, n = struct.unpack_from("<IQQI", data, 4)
         out = cls(k=k)
         out.offset, out.n_items = offset, n_items
         pos = 4 + 24
         for _ in range(n):
+            if len(data) < pos + 12:
+                raise ValueError("truncated misra-gries sketch blob")
             klen, c = struct.unpack_from("<IQ", data, pos)
             pos += 12
             key = data[pos:pos + klen]

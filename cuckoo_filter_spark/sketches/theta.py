@@ -69,13 +69,26 @@ class ThetaSketch:
         self.k = k
         self.theta = _FULL
         self.values = np.empty(0, dtype=np.uint64)
+        #: set by _compact on intersect/a_not_b results: those sketches
+        #: sample a DERIVED set, so folding new raw items into them has
+        #: no sound semantics — fail loud instead of estimating garbage.
+        #: In-memory only (serialized blobs are plain KMV state).
+        self.read_only = False
 
     # -- updates -----------------------------------------------------------
+
+    def _check_writable(self, op: str) -> None:
+        if self.read_only:
+            raise ValueError(
+                f"cannot {op} a compact set-operation result sketch "
+                "(theta_intersect/theta_a_not_b output is estimate-only; "
+                "rebuild from raw data to add items)")
 
     def update(self, items) -> None:
         self.update_hashed(metro64_batch(items))
 
     def update_hashed(self, h: np.ndarray) -> None:
+        self._check_writable("update")
         fresh = _below(np.unique(h.astype(np.uint64, copy=False)), self.theta)
         if len(fresh) == 0:
             return
@@ -91,6 +104,12 @@ class ThetaSketch:
             self.values = self.values[: self.k]
 
     def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        # merging (= union) IS sound for compact set-op results — both
+        # sides are theta-sampled sets and union re-samples at the min
+        # theta; only raw-item UPDATE is unsound — but merging INTO a
+        # compact result would silently clear its estimate-only nature,
+        # so route through theta_union (which copies) instead.
+        self._check_writable("merge into")
         if self.k != other.k:
             raise ValueError(
                 f"theta sketch k mismatch: {self.k} vs {other.k}")
@@ -145,6 +164,7 @@ def _compact(k: int, theta: int, values: np.ndarray) -> ThetaSketch:
     out = ThetaSketch(k=k)
     out.theta = theta
     out.values = values
+    out.read_only = True
     return out
 
 

@@ -111,6 +111,20 @@ def test_pii_duckdb_parity(pii_df):
         x if pd.notna(x) else None for x in duck["redacted"]]
 
 
+def test_pii_generator_kinds_not_silently_exhausted(pii_df):
+    """A generator `kinds` argument must behave exactly like a list —
+    the old validation comprehension exhausted it and every pii
+    function silently no-opped."""
+    from cuckoo_filter_spark.functions.pii import redact_pii as _red
+
+    got = pii_df.select(
+        "id", _red("text", kinds=(k for k in ["email"])).alias("r")
+    ).collect()
+    rows = {r["id"]: r["r"] for r in got}
+    assert rows[0] == "mail me at <EMAIL> thanks"  # email redacted
+    assert "25-989-741-2988" in rows[2]  # phone kind NOT requested
+
+
 def test_pii_unknown_kind_raises():
     with pytest.raises(ValueError, match="unknown PII kinds"):
         pii_count_exprs("text", kinds=["email", "ssn"])
@@ -257,7 +271,7 @@ def test_gopher_duckdb_parity(quality_df):
             CASE WHEN trim(tx)='' THEN 0
                  ELSE len(string_split_regex(trim(tx),'\\s+')) END AS n_tokens,
             length(tx) AS n_chars,
-            length(tx) - length(regexp_replace(tx,'[^\\w\\s]','','g')) AS n_punct,
+            length(tx) - length(regexp_replace(tx,'[^\\p{{L}}\\p{{N}}_\\s]','','g')) AS n_punct,
             {stop_sql.replace('text', 'tx')} AS stop_hits
           FROM f)
         SELECT id,

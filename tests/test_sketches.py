@@ -214,3 +214,18 @@ def test_build_bloom_deferred_matches_counted_build(spark):
     hinted, _ = build_bloom_deferred(df, "key", fpp=0.01, capacity_hint=2 * n)
     assert hinted.contains(
         pd.Series([f"k{i}" for i in range(0, 5_000, 7)])).all()
+
+
+def test_mg_truncated_blob_raises_valueerror():
+    """Corrupt blobs must fail as ValueError (the library's corrupt-blob
+    class), never raw struct.error."""
+    import pytest as _pt
+    from cuckoo_filter_spark.sketches.freq import MGSketch
+
+    mg = MGSketch(k=8)
+    import pandas as pd
+    mg.update(pd.Series(["a", "b", "a"]))
+    blob = mg.to_bytes()
+    for cut in (6, 20, len(blob) - 1):
+        with _pt.raises(ValueError, match="misra-gries"):
+            MGSketch.from_bytes(blob[:cut])

@@ -103,3 +103,25 @@ def test_duckdb_parity(df):
 
     for c in ["normalized", "stripped", "n_removed"]:
         assert norm(got[c]) == norm(want[c]), c
+
+
+def test_carriage_return_line_parity(spark):
+    """Bare '.' is outside the Java∩RE2 subset (Java '.' excludes \\r,
+    RE2 '.' does not) — the cookie patterns spell the gap [^\\n], so a
+    stray-CR line must be dropped identically by BOTH engines."""
+    rows = [(0, "we use cookies\rto give consent\nkeep this line"),
+            (1, "plain line\nanother")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["s"], r["n"]) for r in df.select(
+        "id",
+        strip_boilerplate_lines("text").alias("s"),
+        boilerplate_lines_removed("text").alias("n")).collect()}
+    assert got[0] == ("keep this line", 1)
+    assert got[1][1] == 0
+    o = textnorm_oracle_exprs("text")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "text"]))
+    want = {i: (st, n) for i, st, n in con.execute(
+        f"SELECT id, {o['stripped']}, {o['n_removed']} FROM t ORDER BY id"
+    ).fetchall()}
+    assert {k: (v[0], int(v[1])) for k, v in want.items()} == got

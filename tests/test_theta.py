@@ -118,3 +118,23 @@ def test_distributed_flagged_build_matches_local(spark):
     for m in metrics:
         by_sketch[m["sketch_id"]] = by_sketch.get(m["sketch_id"], 0) + m["rows"]
     assert by_sketch[0] == n_a and by_sketch[1] == (ids % 7 >= 5).sum()
+
+
+def test_compact_results_reject_raw_updates():
+    import numpy as np
+    from cuckoo_filter_spark.sketches.theta import (
+        ThetaSketch, theta_a_not_b, theta_intersect, theta_union)
+
+    a, b = ThetaSketch(k=64), ThetaSketch(k=64)
+    a.update_hashed(np.arange(1, 100, dtype=np.uint64))
+    b.update_hashed(np.arange(50, 150, dtype=np.uint64))
+    inter = theta_intersect(a, b)
+    with pytest.raises(ValueError, match="estimate-only"):
+        inter.update_hashed(np.array([7], dtype=np.uint64))
+    with pytest.raises(ValueError, match="estimate-only"):
+        theta_a_not_b(a, b).update(["x"])
+    with pytest.raises(ValueError, match="estimate-only"):
+        inter.merge(a)
+    # union FROM a compact result is sound KMV algebra and must work
+    u = theta_union(a, inter)
+    assert u.estimate() >= a.estimate() - 1e-9
