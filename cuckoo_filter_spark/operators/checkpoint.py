@@ -98,6 +98,18 @@ def build_checkpointed(
     returned build carries their sum in ``distinct_keys``."""
     from pyspark.sql import functions as F
 
+    # the manifest + done-shard detection are LOCAL-filesystem (os.*)
+    # while Spark would happily write shards to a remote URI — every
+    # resume would then see an empty local dir, recompute ALL shards and
+    # append duplicates next to the existing remote rows. This guard
+    # used to live only in the scripts/build_job.py CLI; the library
+    # call needs it just as much.
+    if "://" in checkpoint_dir:
+        raise ValueError(
+            f"checkpoint_dir {checkpoint_dir!r} is a remote URI: the "
+            "manifest/done-shard bookkeeping is local-filesystem only — "
+            "use a local (or locally-mounted shared) path")
+
     spark = df.sparkSession
     sel = df.select(key_col)
     if capacity is None:
@@ -141,7 +153,18 @@ def build_checkpointed(
                 int(r["shard"])
                 for r in spark.read.parquet(sdir).select("shard").collect()
             }
-        except Exception:
+        except Exception as e:
+            # ONLY an empty/committed-nothing dir may mean "fresh":
+            # treating a transient read failure as fresh would recompute
+            # and APPEND every shard next to the rows already on disk —
+            # permanent duplicates (double metrics, cogroup probes raise
+            # on dup blob rows). Fail loud on anything else.
+            if any(os.scandir(sdir)):
+                raise RuntimeError(
+                    f"checkpoint shards dir {sdir} is non-empty but "
+                    "unreadable — refusing to resume (recomputing would "
+                    "append duplicate shard rows); inspect or delete the "
+                    f"directory. Original error: {e!r}") from e
             done = set()
 
     missing = sorted(set(range(num_shards)) - done)

@@ -44,38 +44,55 @@ def detect_hot_keys(
     ≤ 1/frac keys per batch. The driver merges the CMS partials (never
     underestimates) and keeps candidates clearing the global threshold:
     no hot key is missed; rare cold keys flagged by CMS collisions are
-    harmless (they just get salted too)."""
+    harmless (they just get salted too).
+
+    A hot NULL key is reported as ``None`` in the result: groupBy /
+    repartition co-locate NULLs like any value (``host_of`` on a dirty
+    URL column makes NULL the single hottest "key"), and value_counts /
+    CMS silently drop NaN — so NULLs get an EXACT side-count per
+    partition instead."""
     key_t = df.schema[key_col].dataType.simpleString()
-    schema = f"rows bigint, blob binary, cands array<{key_t}>"
+    schema = f"rows bigint, nulls bigint, blob binary, cands array<{key_t}>"
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sk = CountMinSketch(width=width, depth=depth)
         cands: set = set()
         rows = 0
+        nulls = 0
         for pdf in batches:
             vals = pdf[key_col]
             if len(vals) == 0:
                 continue
             rows += len(vals)
-            sk.update(vals)
-            vc = vals.value_counts()
+            nulls += int(vals.isna().sum())
+            vals_nn = vals.dropna()
+            if len(vals_nn) == 0:
+                continue
+            sk.update(vals_nn)
+            vc = vals_nn.value_counts()
             cands.update(vc[vc >= threshold_frac * len(vals)].index.tolist())
         yield pd.DataFrame(
-            {"rows": [rows], "blob": [sk.to_bytes()], "cands": [list(cands)]})
+            {"rows": [rows], "nulls": [nulls], "blob": [sk.to_bytes()],
+             "cands": [list(cands)]})
 
     rows = df.select(key_col).mapInPandas(partial, schema).collect()
     merged = CountMinSketch(width=width, depth=depth)
     all_cands: set = set()
+    total_rows = 0
+    total_nulls = 0
     for r in rows:
         if r["rows"] > 0:
             merged = merged.merge(CountMinSketch.from_bytes(bytes(r["blob"])))
             all_cands.update(r["cands"])
+            total_rows += int(r["rows"])
+            total_nulls += int(r["nulls"])
+    thresh = total_rows * threshold_frac
+    out: list = [None] if total_nulls and total_nulls >= thresh else []
     if not all_cands:
-        return []
+        return out
     cand_list = list(all_cands)
     est = merged.query(pd.Series(cand_list))
-    thresh = merged.total * threshold_frac
-    return [k for k, e in zip(cand_list, est) if e >= thresh]
+    return out + [k for k, e in zip(cand_list, est) if e >= thresh]
 
 
 def with_salt(
@@ -99,16 +116,32 @@ def with_salt(
     of a hot key all inside ONE partition — stays on one salt, which is
     where one map task already held them anyway. Pass ``spread_cols``
     to pick distinguishing columns explicitly when hashing every column
-    is wasteful (wide rows)."""
-    hot = F.array(*[F.lit(k) for k in hot_keys])
+    is wasteful (wide rows).
+
+    ``None`` in ``hot_keys`` marks the NULL key as hot (what
+    :func:`detect_hot_keys` reports for NULL-heavy columns) — handled
+    explicitly because ``array_contains(hot, NULL)`` is NULL, which a
+    ``when()`` treats as false."""
+    if salt_col in df.columns:
+        raise ValueError(
+            f"salt_col {salt_col!r} already exists in the DataFrame")
+    null_hot = any(k is None for k in hot_keys)
+    hot_nonnull = [k for k in hot_keys if k is not None]
+    if hot_nonnull:
+        is_hot = F.coalesce(
+            F.array_contains(F.array(*[F.lit(k) for k in hot_nonnull]),
+                             F.col(key_col)),
+            F.lit(False))
+    else:
+        is_hot = F.lit(False)
+    if null_hot:
+        is_hot = is_hot | F.col(key_col).isNull()
     cols = spread_cols if spread_cols is not None else df.columns
     spread = F.pmod(
         F.xxhash64(*[F.col(c) for c in cols], F.spark_partition_id()),
         F.lit(num_salts))
     return df.withColumn(
-        salt_col,
-        F.when(F.array_contains(hot, F.col(key_col)), spread).otherwise(F.lit(0)),
-    )
+        salt_col, F.when(is_hot, spread).otherwise(F.lit(0)))
 
 
 def salted_repartition(

@@ -48,11 +48,18 @@ _SPACE = 1 << 32  # 8 hex chars
 def split_boundaries(fractions: list[float]) -> list[str]:
     """Cumulative upper boundaries as 8-char lowercase hex literals,
     one per fraction except the last (which is the CASE's ELSE — no
-    rounding gap at the top of the space)."""
+    rounding gap at the top of the space). Clamped to the 8-hex-char
+    space: a cumulative fraction reaching 1.0 within the validation
+    tolerance before the LAST split would otherwise format as the
+    9-char '100000000', which string-compares BELOW most 8-char hashes
+    and misroutes ~15/16 of keys into the saturated split's successors
+    (the sliver splits after it keep only the single 'ffffffff' hash —
+    their requested fractions were below the space's resolution
+    anyway)."""
     bounds, cum = [], 0.0
     for f in fractions[:-1]:
         cum += f
-        bounds.append(format(int(cum * _SPACE), "08x"))
+        bounds.append(format(min(int(cum * _SPACE), _SPACE - 1), "08x"))
     return bounds
 
 
@@ -97,8 +104,6 @@ def hash_split(
     if len(named) < 2:
         raise ValueError("hash_split needs at least two splits "
                          "(use hash_sample for a single keep-fraction)")
-    if len({n for n, _ in named}) != len(named):
-        raise ValueError("duplicate split labels")
     _validate_fractions(named)
     if split_col in df.columns:
         raise ValueError(
@@ -220,9 +225,10 @@ def split_case_sql(key_expr: str, splits: dict[str, float],
             raise ValueError(
                 f"{text!r} contains a single quote — it would corrupt "
                 f"the emitted SQL literal")
-    if len({n for n, _ in named}) != len(named):
-        raise ValueError("duplicate split labels")
-    key = f"CAST({key_expr} AS VARCHAR)"
+    # STRING, not VARCHAR: Spark SQL rejects bare VARCHAR (requires a
+    # length), while STRING is a built-in VARCHAR alias in DuckDB —
+    # STRING is the spelling that actually "runs unchanged in both"
+    key = f"CAST({key_expr} AS STRING)"
     if seed:
         key = f"{key} || '{seed}'"
     h = f"substr(md5({key}), 1, 8)"

@@ -55,6 +55,16 @@ class TableIO:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
         if self.use_iceberg:
+            if mode == "append" and partition_by:
+                # DataFrameWriterV2.partitionedBy only applies on
+                # create/replace — an append silently ignores it (the
+                # table's existing spec wins), which would diverge from
+                # the parquet fallback that honors it; fail loud
+                raise ValueError(
+                    "partition_by cannot change an existing Iceberg "
+                    "table's partition spec on append — create the "
+                    "table with the spec (mode='overwrite') or drop "
+                    "the argument")
             w = df.writeTo(f"{self.catalog}.{name}")
             if partition_by:
                 from pyspark.sql import functions as F

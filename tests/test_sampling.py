@@ -187,3 +187,32 @@ def test_validation(spark, docs):
     with pytest.raises(ValueError, match="default_fraction"):
         stratified_sample_expr("doc_id", "src", {"a": 0.5},
                                default_fraction=1.5)
+
+
+def test_split_case_sql_runs_in_spark_sql(spark, docs):
+    """The emitted CASE's portability contract is BOTH engines: it must
+    evaluate in Spark SQL (bare VARCHAR used to fail DATATYPE_MISSING_
+    SIZE) and reproduce hash_split row-for-row."""
+    docs.createOrReplaceTempView("t_split_sql")
+    case = split_case_sql("doc_id", SPLITS, seed="r5")
+    got = {r["doc_id"]: r["s"] for r in spark.sql(
+        f"SELECT doc_id, {case} AS s FROM t_split_sql").collect()}
+    want = {r["doc_id"]: r["split"] for r in
+            hash_split(docs, "doc_id", SPLITS, seed="r5").collect()}
+    assert got == want
+
+
+def test_saturated_cumulative_fraction_clamped(spark):
+    """A cumulative fraction hitting 1.0 before the last split used to
+    emit the 9-hex boundary '100000000', which string-compares BELOW
+    most 8-char hashes — ~15/16 of keys landed in a split requested at
+    3e-10."""
+    from cuckoo_filter_spark.operators.sampling import split_boundaries
+
+    assert split_boundaries([1.0, 3e-10]) == ["ffffffff"]
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 1.0, "val": 3e-10}, seed="x")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("train", 0) >= 1999  # val keeps at most the
+    # single 'ffffffff' hash sliver

@@ -567,3 +567,58 @@ def test_checkpointed_unique_global_distinct_count(spark, tmp_path):
     b2 = build_checkpointed(df, "key", d, capacity=300, num_shards=4,
                             mode="unique_global")
     assert b2.distinct_keys == 300
+
+
+def test_null_hot_key_detected_and_salted(spark):
+    from cuckoo_filter_spark.operators.salting import (
+        detect_hot_keys,
+        salted_group_count,
+        with_salt,
+    )
+
+    rows = [(None,)] * 5000 + [(f"cold{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "host string").repartition(8)
+    hot = detect_hot_keys(df, "host", threshold_frac=0.05)
+    assert None in hot  # the NULL mass IS the skew here
+    salted = with_salt(df, "host", hot, num_salts=8)
+    n_salts = (salted.where(F.col("host").isNull())
+               .select("__salt").distinct().count())
+    assert n_salts > 1, "NULL rows not spread across salts"
+    counts = {r["host"]: r["n"]
+              for r in salted_group_count(df, "host", hot).collect()}
+    assert counts[None] == 5000 and counts["cold0"] == 1
+
+
+def test_with_salt_collision_guard(spark):
+    from cuckoo_filter_spark.operators.salting import with_salt
+
+    df = spark.createDataFrame([("a", 1)], ["host", "__salt"])
+    with pytest.raises(ValueError, match="__salt"):
+        with_salt(df, "host", ["a"])
+
+
+def test_checkpoint_remote_uri_rejected(spark):
+    from cuckoo_filter_spark.operators.checkpoint import build_checkpointed
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="remote URI"):
+        build_checkpointed(df, "k", "s3a://bucket/ckpt", capacity=10,
+                           num_shards=2)
+
+
+def test_checkpoint_unreadable_nonempty_shards_refuses(spark, tmp_path):
+    """A transient/garbage shards dir must REFUSE to resume, not
+    silently recompute-and-append duplicate shard rows."""
+    from cuckoo_filter_spark.operators.checkpoint import build_checkpointed
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    ck = str(tmp_path / "ck")
+    build_checkpointed(df, "k", ck, capacity=100, num_shards=2)
+    # corrupt the shards dir: replace parquet with garbage
+    import pathlib, shutil
+    sdir = pathlib.Path(ck) / "shards"
+    shutil.rmtree(sdir)
+    sdir.mkdir()
+    (sdir / "part-00000.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        build_checkpointed(df, "k", ck, capacity=100, num_shards=2)
