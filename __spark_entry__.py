@@ -1945,8 +1945,9 @@ def _budget_oracle_sql_query() -> str:
     token amount uses token_stats' tokenization spelling."""
     from cuckoo_filter_spark.operators.budget import budget_oracle_sql
 
-    toks = ("CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+    from cuckoo_filter_spark.functions.text import token_count_sql
+
+    toks = token_count_sql("text")
     pred = budget_oracle_sql(
         "lang", "n_chars DESC, doc_id", "toks", "2000", "straddle")
     return f"""
@@ -2057,8 +2058,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                   CAST(SUM(len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t <> '')))
                        AS BIGINT) AS n_tokens,
                    CAST(SUM(length(text)) AS BIGINT) AS n_chars
             FROM documents
@@ -2286,10 +2286,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": """
             WITH d AS (
                 SELECT lang, doc_id,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text),
-                                                        '\\s+')) END
-                           AS n_tokens
+                       len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t <> '')) AS n_tokens
                 FROM documents WHERE lang IS NOT NULL),
             c AS (
                 SELECT lang, doc_id, n_tokens,
@@ -2306,7 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate_docs": """
             WITH toks AS (SELECT doc_id,
-                                 string_split_regex(trim(text), '\\s+') AS w
+                                 list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t <> '') AS w
                           FROM documents),
             grams AS (
                 SELECT doc_id,
@@ -2323,8 +2320,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_stats": """
             WITH toks AS (SELECT doc_id,
-                                 string_split_regex(trim(text), '\\s+') AS w,
-                                 length(trim(text)) = 0 AS blank
+                                 list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t <> '') AS w,
+                                 len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t <> '')) = 0 AS blank
                           FROM documents),
             g2 AS (SELECT doc_id,
                           unnest(list_transform(range(1, greatest(len(w)-1, 0)+1),
@@ -2356,7 +2353,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup_docs": """
             WITH toks AS (SELECT doc_id,
-                                 string_split_regex(trim(text), '\\s+') AS w
+                                 list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t <> '') AS w
                           FROM documents),
             segs AS (
                 SELECT doc_id, i AS idx,
@@ -2438,9 +2435,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             feat AS (
                 SELECT lang,
-                       CASE WHEN trim(tx) = '' THEN 0
-                            ELSE len(string_split_regex(trim(tx), '\\s+'))
-                       END AS n_tokens,
+                       len(list_filter(string_split_regex(coalesce(tx, ''), '\\s+'), t -> t <> '')) AS n_tokens,
                        length(tx) AS n_chars,
                        length(tx) - length(regexp_replace(
                            tx, '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS n_punct,

@@ -44,10 +44,17 @@ def _try_real_image_decoder():
 
 
 def _fake_decode_images(payloads: pd.Series, widths, heights) -> np.ndarray | list:
-    """Deterministic fake decode: seeded uint8 HxWx3 per payload."""
+    """Deterministic fake decode: seeded uint8 HxWx3 per payload.
+    Declared dimensions are metadata, not ground truth — NULL or
+    non-positive dims fail LOUD here (a (0,0,3) array would flow NaN
+    means silently downstream; same guard class as resize_plan)."""
     seeds = metro64_batch(payloads)
     out = []
     for s, w, h in zip(seeds, widths, heights):
+        if pd.isna(w) or pd.isna(h) or int(w) <= 0 or int(h) <= 0:
+            raise ValueError(
+                f"fake image decode needs positive declared dims, got "
+                f"width={w!r} height={h!r} — corrupt media metadata")
         rng = np.random.default_rng(int(s))
         out.append(rng.integers(0, 256, size=(int(h), int(w), 3), dtype=np.uint8))
     return out
@@ -79,12 +86,20 @@ def decode_image_features(decode_mode: str = "fake"):
     """
     if decode_mode not in ("fake", "real", "strict"):
         raise ValueError(f"unknown decode_mode {decode_mode!r}")
-    has_real = _try_real_image_decoder()
-    if decode_mode == "real" and not has_real:
+    if decode_mode == "real" and not _try_real_image_decoder():
+        # fast driver-side fail for the explicit mode; the probe below
+        # re-runs on the EXECUTOR (where the decode actually executes) —
+        # a driver/executor PIL mismatch must honor the error contract,
+        # not die with a raw ImportError inside a task
         raise ImportError("decode_mode='real' requires PIL")
-    use_real = decode_mode == "real" or (decode_mode == "strict" and has_real)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        has_real = _try_real_image_decoder()  # probed where the work runs
+        if decode_mode == "real" and not has_real:
+            raise ImportError(
+                "decode_mode='real' requires PIL on the EXECUTORS "
+                "(present on the driver, absent here)")
+        use_real = decode_mode == "real" or (decode_mode == "strict" and has_real)
         for pdf in batches:
             img = pdf[pdf["kind"] == "image"]
             if len(img) == 0:
@@ -204,6 +219,11 @@ def decode_audio_features(decode_mode: str = "fake"):
                 pcm = [d[0] for d in decoded]
                 srs = [d[1] for d in decoded]
             else:
+                if aud["sample_rate"].isna().any():
+                    raise ValueError(
+                        "fake audio decode needs a declared sample_rate "
+                        "on every audio row (NULL found — corrupt media "
+                        "metadata)")
                 srs = [max(int(s), 1) for s in aud["sample_rate"]]
                 pcm = _fake_decode_audio(aud["payload"], srs)
             dur = np.array([len(a) / sr for a, sr in zip(pcm, srs)])

@@ -22,12 +22,9 @@ from cuckoo_filter_spark.hashing import metro64_batch
 
 
 def token_count_expr(col: str | Column) -> Column:
-    """Whitespace token count, JVM-side. Empty/blank → 0."""
-    c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    ).cast("bigint")
+    """Whitespace token count, JVM-side. Empty/blank/NULL → 0 (NULL used
+    to propagate NULL here while tokens_expr said 0 — same rule now)."""
+    return F.size(tokens_expr(col)).cast("bigint")
 
 
 def bpe_ish_token_count_expr(col: str | Column) -> Column:
@@ -45,10 +42,12 @@ def bpe_ish_token_count_expr(col: str | Column) -> Column:
 # quality scoring — pure Spark expressions
 # ---------------------------------------------------------------------------
 
+# exactly the 16 words stopword_ratio counts (the list USED to carry 15
+# more entries a [:16] slice silently ignored — extending it changed
+# nothing; keep list and usage in lockstep)
 _STOPWORDS = (
-    "the a of and to in is for on with this that from by at as it or be are "
-    "was were has have had not but what all can her would there their will"
-).split()
+    "the a of and to in is for on with this that from by at as".split()
+)
 
 
 def quality_features(col: str | Column) -> dict[str, Column]:
@@ -68,11 +67,14 @@ def quality_features(col: str | Column) -> dict[str, Column]:
         F.regexp_replace(c, r"[^\p{L}\p{N}_\s]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))
     lowered = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    # lookahead keeps the trailing whitespace UNCONSUMED so adjacent
+    # repeats all count (' the the ' is 2 hits, not 1 — split on
+    # '\sthe\s' eats the boundary space the next occurrence needs)
     n_stop = sum(
         (
-            F.size(F.split(lowered, rf"\s{w}\s")) - 1
+            F.size(F.split(lowered, rf"\s{w}(?=\s)")) - 1
         ).cast("double")
-        for w in _STOPWORDS[:16]
+        for w in _STOPWORDS
     )
     return {
         "n_chars": n_chars.cast("bigint"),
@@ -130,7 +132,16 @@ def lang_id_udf():
                 continue
             s = None
             for m in markers:
-                c = lowered.str.count(m if m.isalpha() else m.replace(" ", r"\s"))
+                if m.isalpha():
+                    pat = m
+                elif m.endswith(" "):
+                    # trailing boundary as lookahead: non-overlapping
+                    # counting would otherwise eat the space the NEXT
+                    # adjacent occurrence needs (' the the ' = 2, not 1)
+                    pat = m[:-1].replace(" ", r"\s") + r"(?=\s)"
+                else:
+                    pat = m.replace(" ", r"\s")
+                c = lowered.str.count(pat)
                 s = c if s is None else s + c
             scores[lang] = s / n * 100.0
         sdf = pd.DataFrame(scores)
@@ -172,14 +183,38 @@ def doc_fingerprint_udf():
 
 
 def tokens_expr(col: str | Column) -> Column:
-    """Whitespace tokenization, JVM-side. Blank/NULL → empty array.
-    Matches DuckDB ``string_split_regex(trim(text), '\\s+')`` on
-    non-blank input (the oracle-parity contract for every consumer)."""
+    """Whitespace tokenization, JVM-side: split on ``\\s+`` and drop the
+    boundary empties. Blank/NULL → empty array.
+
+    The boundary filter is load-bearing: ``F.trim`` strips only ASCII
+    0x20, so the previous ``split(trim(text))`` emitted a phantom ``''``
+    token for text with leading/trailing NON-SPACE whitespace
+    (``'hello\\n'`` counted 2 tokens ``['hello', '']`` — the common case
+    for any real newline-terminated corpus), inflating every downstream
+    token count/budget/window. Splitting on ``\\s+`` can only produce
+    empties at the two boundaries, so filtering ``''`` is exactly a
+    full-whitespace trim — and it matches python ``str.split()`` (the
+    rule the Arrow-UDF consumers use). DuckDB spelling:
+    :func:`tokens_sql` (the oracle-parity contract for every consumer).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(F.coalesce(c, F.lit("")))
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+    return F.filter(
+        F.split(F.coalesce(c, F.lit("")), r"\s+", -1),
+        lambda t: t != F.lit(""),
     )
+
+
+def tokens_sql(text_sql: str) -> str:
+    """The DuckDB spelling of :func:`tokens_expr` — ONE emitter for the
+    tokenization contract; every oracle embeds this so engine drift is a
+    hash mismatch, not silence."""
+    return (f"list_filter(string_split_regex(coalesce({text_sql}, ''), "
+            f"'\\s+'), t -> t <> '')")
+
+
+def token_count_sql(text_sql: str) -> str:
+    """DuckDB spelling of :func:`token_count_expr`."""
+    return f"len({tokens_sql(text_sql)})"
 
 
 def word_ngrams_expr(col: str | Column, n: int) -> Column:
@@ -212,6 +247,10 @@ def repetition_features(col: str | Column, line_sep: str = "\n") -> dict[str, Co
     * ``dup_line_char_frac`` — fraction of non-blank-line characters
       sitting in repeated copies (chars beyond each line's first
       occurrence).
+
+    ``line_sep`` is a Java REGEX (the operators/lines.py ``sep``
+    contract) — escape metacharacters for literal separators
+    (``line_sep='.'`` splits on EVERY character, not on periods).
 
     Per-doc map-side expressions — zero shuffle at any scale."""
     c = F.col(col) if isinstance(col, str) else col

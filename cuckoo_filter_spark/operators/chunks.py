@@ -123,12 +123,13 @@ def chunks_oracle_exprs(text_sql: str, k: int, overlap: int = 0) -> dict[str, st
     list) — embed ``starts`` in an ``unnest`` and slice ``tokens``
     with the 1-based inclusive ``w[start+1 : start+k]`` to rebuild
     chunk text/counts."""
+    from cuckoo_filter_spark.functions.text import tokens_sql
+
     stride = _check(k, overlap)
-    w = f"string_split_regex(trim(coalesce({text_sql}, '')), '\\s+')"
+    w = tokens_sql(text_sql)
     n = f"len({w})"
     starts = (
-        f"CASE WHEN length(trim(coalesce({text_sql}, ''))) = 0 "
-        f"THEN []::INT[] "
+        f"CASE WHEN {n} = 0 THEN []::INT[] "
         f"WHEN {n} <= {k} THEN [0] "
         f"ELSE list_transform("
         f"range(0, CAST(ceil(({n} - {k}) / {stride}.0) AS INT) + 1), "

@@ -153,23 +153,23 @@ def filter_repeated_spans(
 
 def spans_oracle_exprs(text_sql: str, k: int, stride: int = 1) -> dict[str, str]:
     """DuckDB spellings of the SAME window generation, from the one
-    tokenization contract (``tokens_expr`` ==
-    ``string_split_regex(trim(text), '\\s+')`` on non-blank input):
-    ``windows`` (list expression) and ``gram_rows`` (an ``unnest``-ready
-    FROM fragment is left to the caller — embed ``windows`` in
-    ``unnest(...)``). Engine drift = hash mismatch, not silence."""
+    tokenization contract (``tokens_expr`` == :func:`~cuckoo_filter_
+    spark.functions.text.tokens_sql`): ``windows`` (list expression) and
+    ``gram_rows`` (an ``unnest``-ready FROM fragment is left to the
+    caller — embed ``windows`` in ``unnest(...)``). Engine drift = hash
+    mismatch, not silence."""
+    from cuckoo_filter_spark.functions.text import tokens_sql
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    w = f"string_split_regex(trim(coalesce({text_sql}, '')), '\\s+')"
+    w = tokens_sql(text_sql)
     # range(start, stop, step) is stop-EXCLUSIVE; w[i:j] is INCLUSIVE.
-    # Blank text splits to [''] (len 1 < k for any k >= 2); k=1 on blank
-    # input would window [''] — same guard both engines via the trim
-    # length check.
+    # Blank/whitespace-only text tokenizes to [] (boundary empties
+    # filtered by the ONE emitter), so len(w) >= k gates it for any k.
     windows = (
-        f"CASE WHEN length(trim(coalesce({text_sql}, ''))) = 0 THEN []::VARCHAR[] "
-        f"WHEN len({w}) >= {k} THEN "
+        f"CASE WHEN len({w}) >= {k} THEN "
         f"list_transform(range(1, len({w}) - {k} + 2, {stride}), "
         f"i -> array_to_string({w}[i:i+{k - 1}], ' ')) "
         f"ELSE []::VARCHAR[] END"

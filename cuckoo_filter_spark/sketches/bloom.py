@@ -25,6 +25,14 @@ class BloomSketch:
 
     def __init__(self, capacity: int = 0, fpp: float = 0.01,
                  n_bits: int | None = None, n_hashes: int | None = None):
+        if n_bits is not None and n_hashes is None and capacity <= 0:
+            # k = m/n·ln2 with the default capacity=0 would compute
+            # ~0.69·n_bits hash probes — a filter that saturates to
+            # all-positive after a handful of keys while doing 10^5+
+            # position computations per probe; fail loud instead
+            raise ValueError(
+                "BloomSketch(n_bits=...) needs capacity or n_hashes to "
+                "size the probe count")
         if n_bits is None:
             ideal = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
             n_bits = 1 << (ideal - 1).bit_length()
@@ -39,7 +47,14 @@ class BloomSketch:
 
     # -- shared Arrow-batch update path --
     def update(self, items) -> None:
-        self.update_hashed(metro64_batch(items))
+        # NULL keys are EXCLUDED (the cuckoo-build convention): a NULL
+        # string slot has zero Arrow length and would hash identically
+        # to '' (phantom member), and a NULL numeric key crashes the
+        # flat-bytes path
+        vals = items if isinstance(items, pd.Series) else pd.Series(items)
+        vals = vals.dropna()
+        if len(vals):
+            self.update_hashed(metro64_batch(vals))
 
     def _positions(self, h: np.ndarray) -> np.ndarray:
         h1 = (h >> np.uint64(32)).astype(np.uint64)
@@ -149,9 +164,10 @@ def build_bloom_deferred(df, key_col: str, fpp: float = 0.01,
 
     def hasher(batches):
         for pdf in batches:
-            if len(pdf):
+            vals = pdf[key_col].dropna()  # same NULL exclusion as update()
+            if len(vals):
                 yield pd.DataFrame(
-                    {"h": metro64_batch(pdf[key_col]).view(np.int64)})
+                    {"h": metro64_batch(vals).view(np.int64)})
 
     hashed = df.select(key_col).mapInPandas(hasher, "h bigint").localCheckpoint()
     n = hashed.count()  # reads the checkpoint, not the source

@@ -54,6 +54,14 @@ class CountMinSketch:
     def update_hashed(self, h: np.ndarray, weights=None) -> None:
         cols = self._cols(h)  # [d, n]
         w = np.ones(len(h), dtype=np.int64) if weights is None else np.asarray(weights, dtype=np.int64)
+        if weights is not None and len(w) and int(w.min()) < 0:
+            # a negative weight drives `total` negative, which only
+            # explodes later as an opaque struct.error when to_bytes
+            # packs it as '<Q' on some executor — fail loud at the cause
+            # (the NULL/negative raise-loud convention, cf. packing)
+            raise ValueError(
+                f"count-min weights must be >= 0 (got min {int(w.min())}); "
+                "conservative-min estimates assume non-negative counts")
         for r in range(self.depth):
             np.add.at(self.counts[r], cols[r], w)
         self.total += int(w.sum())

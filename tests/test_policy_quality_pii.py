@@ -268,8 +268,8 @@ def test_gopher_duckdb_parity(quality_df):
           SELECT id, coalesce(text, '') AS tx FROM t),
         feat AS (
           SELECT id,
-            CASE WHEN trim(tx)='' THEN 0
-                 ELSE len(string_split_regex(trim(tx),'\\s+')) END AS n_tokens,
+            len(list_filter(string_split_regex(coalesce(tx, ''),
+                '\\s+'), t -> t <> '')) AS n_tokens,
             length(tx) AS n_chars,
             length(tx) - length(regexp_replace(tx,'[^\\p{{L}}\\p{{N}}_\\s]','','g')) AS n_punct,
             {stop_sql.replace('text', 'tx')} AS stop_hits

@@ -229,3 +229,33 @@ def test_mg_truncated_blob_raises_valueerror():
     for cut in (6, 20, len(blob) - 1):
         with _pt.raises(ValueError, match="misra-gries"):
             MGSketch.from_bytes(blob[:cut])
+
+
+def test_bloom_null_keys_excluded_and_constructor_guard():
+    import pandas as pd
+    import pytest as _pt
+    from cuckoo_filter_spark.sketches.bloom import BloomSketch
+
+    b = BloomSketch(capacity=128)
+    b.update(pd.Series(["a", None, "b"]))
+    assert b.n_items == 2
+    # a NULL key must NOT alias to '' (Arrow null slot has zero length)
+    assert not b.contains(pd.Series([""]))[0]
+    # numeric NULLs excluded instead of crashing the flat-bytes path
+    b2 = BloomSketch(capacity=128)
+    b2.update(pd.Series([1, None, 2], dtype="Int64"))
+    assert b2.n_items == 2
+    with _pt.raises(ValueError, match="capacity or n_hashes"):
+        BloomSketch(n_bits=1 << 20)
+    BloomSketch(n_bits=1 << 10, n_hashes=7)  # explicit k: fine
+
+
+def test_countmin_negative_weight_raises():
+    import pytest as _pt
+    from cuckoo_filter_spark.sketches.countmin import CountMinSketch
+
+    c = CountMinSketch(width=1 << 8, depth=2)
+    c.update(["a"], weights=[5])
+    with _pt.raises(ValueError, match="must be >= 0"):
+        c.update(["b"], weights=[-5])
+    assert c.to_bytes()  # total still serializable

@@ -106,3 +106,50 @@ def test_canonical_url_rules(spark):
             spark.createDataFrame([(g,) for g in got], "url string")
             .select(canonical_url("url")).collect()]
     assert got2 == got
+
+
+def test_tokenization_boundary_whitespace(spark):
+    """Leading/trailing NON-SPACE whitespace must not emit phantom ''
+    tokens (F.trim strips only 0x20): 'hello world\n' is 2 tokens, a
+    bare '\n' is 0, NULL counts 0 (not NULL)."""
+    import duckdb
+    import pandas as pd
+    from cuckoo_filter_spark.functions.text import (
+        token_count_expr, tokens_expr, tokens_sql, word_ngrams_expr)
+
+    rows = [(0, "hello world\n"), (1, "\n"), (2, "\ta  b\r\n"),
+            (3, None), (4, ""), (5, " x ")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["n"], r["t"]) for r in df.select(
+        "id", token_count_expr("text").alias("n"),
+        tokens_expr("text").alias("t")).collect()}
+    assert got[0] == (2, ["hello", "world"])
+    assert got[1] == (0, [])
+    assert got[2] == (2, ["a", "b"])
+    assert got[3] == (0, [])      # NULL -> 0, not NULL
+    assert got[4] == (0, [])
+    assert got[5] == (1, ["x"])
+    # no gram may contain a phantom '' token ('hello world\\n' used to
+    # produce a second gram 'world ')
+    grams = {r["id"]: r["g"] for r in df.select(
+        "id", word_ngrams_expr("text", 2).alias("g")).collect()}
+    assert grams[0] == ["hello world"]
+    assert grams[2] == ["a b"]
+    assert all(not g for i, g in grams.items() if i not in (0, 2))
+    # the ONE SQL emitter reproduces it row-for-row
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "text"]))
+    want = {i: list(v) for i, v in con.execute(
+        f"SELECT id, {tokens_sql('text')} FROM t ORDER BY id").fetchall()}
+    assert want == {k: v[1] for k, v in got.items()}
+
+
+def test_stopword_adjacent_repeats_counted(spark):
+    from cuckoo_filter_spark.functions.text import quality_features
+
+    df = spark.createDataFrame([(" the the the ",)], ["text"])
+    f = quality_features("text")
+    row = df.select((f["stopword_ratio"] * f["n_tokens"]).alias("n_stop"),
+                    f["n_tokens"].alias("nt")).collect()[0]
+    assert row["nt"] == 3
+    assert abs(row["n_stop"] - 3.0) < 1e-9  # split used to count 2
