@@ -219,6 +219,43 @@ def metro64_batch(items, seed: int = DEFAULT_SEED) -> np.ndarray:
     return metro64_flat(flat, lens, seed)
 
 
+def canon_int_keys(vals):
+    """Canonical dtype for KEY hashing of a pandas batch.
+
+    Arrow hands a bigint column's null-BEARING batches to pandas as
+    float64 — so after the standard null exclusion the SAME key would
+    hash as 8 ``<f8`` bytes in one batch and 8 ``<i8`` bytes in another,
+    silently splitting fingerprint identity between build and probe
+    (exact-anti-join FALSE NEGATIVES). A float batch whose values are
+    all finite, integral, and within int64 range is therefore restored
+    to int64 before hashing. Genuinely fractional float keys keep float
+    identity — float keys are NOT supported as membership keys (same
+    caveat as operators/sampling's key-type contract: use a stable
+    string/integral form)."""
+    if getattr(vals, "dtype", None) is not None and vals.dtype.kind == "f" \
+            and len(vals):
+        v = vals.to_numpy()
+        if (np.isfinite(v).all() and (v == np.floor(v)).all()
+                and (np.abs(v) < 2 ** 63).all()):
+            return vals.astype("int64")
+    return vals
+
+
+def key_mask_and_values(items):
+    """(canonicalized non-null values, notna bool ndarray) for a batch of
+    membership keys — THE pre-hash cleaning every key-hashing entry point
+    shares: NULL keys are excluded (a NULL string slot has zero Arrow
+    length and would alias with ``''``; a NULL numeric slot crashes
+    ``to_flat_bytes``), and integral identity is restored via
+    :func:`canon_int_keys`."""
+    import pandas as pd
+
+    vals = items if isinstance(items, pd.Series) else pd.Series(items)
+    notna = vals.notna().to_numpy()
+    nn = vals if notna.all() else vals[notna]
+    return canon_int_keys(nn), notna
+
+
 # --- xxHash64 of a single 64-bit word ---------------------------------------
 # Shard-id derivation needs a hash INDEPENDENT of the filter hash whose
 # bits feed bucket index (hi32) and tag (lo32): taking shard bits from

@@ -31,7 +31,7 @@ import struct
 
 import numpy as np
 
-from cuckoo_filter_spark.hashing import metro64_batch
+from cuckoo_filter_spark.hashing import key_mask_and_values, metro64_batch
 from cuckoo_filter_spark.kernel import bitpack
 from cuckoo_filter_spark.params import (
     MAX_CUCKOO_KICKS,
@@ -130,9 +130,25 @@ class CuckooKernel:
     # hashing
     # ------------------------------------------------------------------
     def fingerprints(self, items) -> tuple[np.ndarray, np.ndarray]:
-        """Batch of keys → (index, tag) arrays."""
+        """Batch of keys → (index, tag) arrays. RAW mapping (no null
+        handling — parity tests feed it clean inputs); the item-level
+        entry points below run keys through key_mask_and_values first
+        (NULL exclusion + integral-dtype restore)."""
         h = metro64_batch(items)
         return self.params.split(h)
+
+    def _masked(self, items, hashed_op) -> np.ndarray:
+        """Shared item-level entry shape: NULL keys are never hashed
+        (they'd alias '' / crash on numerics) and always answer False;
+        non-null keys are dtype-canonicalized so a bigint column's
+        null-bearing float64 batches hash identically to its int64
+        batches (exact-join false-negative hazard otherwise)."""
+        nn, notna = key_mask_and_values(items)
+        out = np.zeros(len(notna), dtype=bool)
+        if len(nn):
+            idx, tag = self.fingerprints(nn)
+            out[notna] = hashed_op(idx, tag)
+        return out
 
     def _check_usable(self) -> None:
         if self._corrupt:
@@ -145,11 +161,10 @@ class CuckooKernel:
     # insert
     # ------------------------------------------------------------------
     def add(self, items) -> np.ndarray:
-        """Batch insert; returns per-item success mask. Items after the
-        victim cache fills are rejected like sequential Add
-        (cuckoofilter.go:135-141)."""
-        idx, tag = self.fingerprints(items)
-        return self.add_hashed(idx, tag)
+        """Batch insert; returns per-item success mask (False for NULL
+        keys — excluded, never stored). Items after the victim cache
+        fills are rejected like sequential Add (cuckoofilter.go:135-141)."""
+        return self._masked(items, self.add_hashed)
 
     def add_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         """Sequential-equivalent batch Add: if the victim cache fills
@@ -168,9 +183,9 @@ class CuckooKernel:
 
     def add_unique(self, items) -> np.ndarray:
         """Batch AddUnique (cuckoofilter.go:144-149): skip keys already
-        present (or duplicated within the batch); returns stored-new mask."""
-        idx, tag = self.fingerprints(items)
-        return self.add_unique_hashed(idx, tag)
+        present (or duplicated within the batch); returns stored-new mask
+        (False for NULL keys — excluded)."""
+        return self._masked(items, self.add_unique_hashed)
 
     def add_unique_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         self._check_usable()
@@ -396,8 +411,8 @@ class CuckooKernel:
     # lookup
     # ------------------------------------------------------------------
     def contain(self, items) -> np.ndarray:
-        idx, tag = self.fingerprints(items)
-        return self.contain_hashed(idx, tag)
+        # NULL keys answer False (SQL IN semantics), never hash
+        return self._masked(items, self.contain_hashed)
 
     def contain_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         """Vectorized Contain (cuckoofilter.go:178-188)."""
@@ -417,8 +432,8 @@ class CuckooKernel:
     # delete
     # ------------------------------------------------------------------
     def delete(self, items) -> np.ndarray:
-        idx, tag = self.fingerprints(items)
-        return self.delete_hashed(idx, tag)
+        # NULL keys answer False (nothing stored under NULL), never hash
+        return self._masked(items, self.delete_hashed)
 
     def delete_hashed(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
         """Batch delete (cuckoofilter.go:191-213 semantics).
@@ -843,6 +858,11 @@ class CuckooProbe:
         return found
 
     def contain(self, items) -> np.ndarray:
-        h = metro64_batch(items)
-        idx, tag = self.params.split(h)
-        return self.contain_hashed(idx, tag)
+        # same NULL/dtype key cleaning as CuckooKernel.contain: NULL
+        # probes answer False, bigint float64-rendered batches restored
+        nn, notna = key_mask_and_values(items)
+        out = np.zeros(len(notna), dtype=bool)
+        if len(nn):
+            idx, tag = self.params.split(metro64_batch(nn))
+            out[notna] = self.contain_hashed(idx, tag)
+        return out

@@ -269,10 +269,15 @@ def hashes_of(pdf_col, hash_fn: str) -> np.ndarray:
     """Column batch → uint64 hashes. 'metro64' hashes key bytes in numpy
     (reference parity); '__prehashed__' means the column already holds
     a JVM-computed 64-bit hash (e.g. F.xxhash64 — whole-stage codegen,
-    no Python hashing cost)."""
+    no Python hashing cost). Callers must have EXCLUDED null keys;
+    integral identity is restored here (a bigint column's null-bearing
+    batches reach pandas as float64 — hashing those bytes would split
+    fingerprint identity from the int64 batches)."""
+    from cuckoo_filter_spark.hashing import canon_int_keys
+
     if hash_fn == "__prehashed__":
         return pdf_col.to_numpy(dtype="int64").view(np.uint64)
-    return metro64_batch(pdf_col)
+    return metro64_batch(canon_int_keys(pdf_col))
 
 
 def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
@@ -297,7 +302,10 @@ def _sparse_partial_builder(params: CuckooParams, key_col: str, unique: bool,
         tgs: list[np.ndarray] = []
         seen: DistinctAccum | None = DistinctAccum() if count_keys else None
         for pdf in batches:
-            keys = pdf[key_col]
+            # NULL keys are EXCLUDED (the library convention; a NULL
+            # string slot would alias '' and a NULL numeric slot
+            # crashes the flat-bytes path); rows counts non-null keys
+            keys = pdf[key_col].dropna()
             if len(keys) == 0:
                 continue
             rows += len(keys)
@@ -346,7 +354,10 @@ def _hash_partial_builder(key_col: str, unique: bool, hash_fn: str = "metro64",
         hs: list[np.ndarray] = []
         seen: DistinctAccum | None = DistinctAccum() if count_keys else None
         for pdf in batches:
-            keys = pdf[key_col]
+            # NULL keys are EXCLUDED (the library convention; a NULL
+            # string slot would alias '' and a NULL numeric slot
+            # crashes the flat-bytes path); rows counts non-null keys
+            keys = pdf[key_col].dropna()
             if len(keys) == 0:
                 continue
             rows += len(keys)
@@ -389,7 +400,10 @@ def _table_partial_builder(params: CuckooParams, key_col: str, unique: bool,
         t0 = time.perf_counter()
         seen: DistinctAccum | None = DistinctAccum() if count_keys else None
         for pdf in batches:
-            keys = pdf[key_col]
+            # NULL keys are EXCLUDED (the library convention; a NULL
+            # string slot would alias '' and a NULL numeric slot
+            # crashes the flat-bytes path); rows counts non-null keys
+            keys = pdf[key_col].dropna()
             if len(keys) == 0:
                 continue
             rows += len(keys)

@@ -411,11 +411,14 @@ def grouped_anti_join(
         # the full two-phase grouped build.
         filters = build_grouped_filters(
             seen, group_col, key_col, **build_kwargs).localCheckpoint()
+    if not built_here:
+        # caller-passed frame: still materialize before the multiple
+        # consumers (auto's routing count, the cogroup probe's hash_fn
+        # collect, and the two union branches) — one tiny row per group,
+        # so the checkpoint is cheap on EVERY route, and a caller's
+        # expensive upstream build plan never re-executes
+        filters = filters.localCheckpoint()
     if via == "auto":
-        if not built_here:
-            # caller-passed frame: still materialize before the double
-            # consumption (routing count + probe); one row per group
-            filters = filters.localCheckpoint()
         # one tiny agg over the one-row-per-group filters frame; limit()
         # bounds the job at the threshold instead of a full count
         over = filters.limit(AUTO_COGROUP_GROUPS + 1).count()
@@ -423,6 +426,12 @@ def grouped_anti_join(
     if via == "cogroup":
         flagged = grouped_might_contain_join(
             probe, group_col, key_col, filters, flag_col="__maybe")
+        # the cogroup probe is a full shuffle + Python pass over every
+        # probe row, and the flagged frame feeds BOTH union branches
+        # below — materialize it once instead of running the probe
+        # twice (the cuckoo_anti_join double-scan trade is deliberate
+        # for cheap scan-stage probes; a cogroup pass is not cheap)
+        flagged = flagged.localCheckpoint()
     else:
         mc = grouped_might_contain_udf(probe.sparkSession, filters)
         flagged = probe.withColumn("__maybe", mc(group_col, key_col))

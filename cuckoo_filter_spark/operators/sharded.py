@@ -164,8 +164,14 @@ class ShardedCuckooBuild:
         if self.hash_fn == "xxhash64":
             raise ValueError("xxhash64 build: probe via sharded_might_contain_udf "
                              "or contain_hashed64")
-        h = metro64_batch(items)
-        return _probe_sharded(h, self.blobs, self.params, self.num_shards)
+        from cuckoo_filter_spark.hashing import key_mask_and_values
+
+        nn, notna = key_mask_and_values(items)
+        out = np.zeros(len(notna), dtype=bool)
+        if len(nn):
+            out[notna] = _probe_sharded(
+                metro64_batch(nn), self.blobs, self.params, self.num_shards)
+        return out
 
     def contain_hashed64(self, h: np.ndarray) -> np.ndarray:
         return _probe_sharded(h.astype(np.uint64), self.blobs, self.params,
@@ -222,15 +228,18 @@ def _pair_emitter(params: CuckooParams, key_col: str, num_shards: int, unique: b
             DistinctAccum(dropna=False) if count_keys else None)
         rows = 0
         for pdf in batches:
-            keys = pdf[key_col]
+            # NULL keys EXCLUDED up front (library convention): aliasing
+            # with '' / numeric crash; per-shard distinct counts already
+            # excluded them downstream
+            keys = pdf[key_col].dropna()
             if len(keys) == 0:
                 continue
             rows += len(keys)
             h = hashes_of(keys, hash_fn)
             shards = shard_of(h, num_shards)
             if seen is not None:
-                frame = pd.DataFrame({"__shard": shards, key_col: keys})
-                seen.add(frame[frame[key_col].notna()])
+                seen.add(pd.DataFrame(
+                    {"__shard": shards, key_col: keys.to_numpy()}))
             idx, tag = params.split(h)
             for s, rs in iter_shard_groups(shards):
                 per_shard_bi.setdefault(s, []).append(idx[rs])
@@ -445,7 +454,16 @@ def sharded_might_contain_join(
 
         @pandas_udf("int")
         def shard_udf(keys: pd.Series) -> pd.Series:
-            return pd.Series(shard_of(metro64_batch(keys), num_shards))
+            from cuckoo_filter_spark.hashing import key_mask_and_values
+
+            # NULL keys route to shard 0 (any shard works: the probe
+            # itself answers False for them) instead of crashing the
+            # hash; integral dtype restored for null-bearing batches
+            nn, notna = key_mask_and_values(keys)
+            out = np.zeros(len(notna), dtype=np.int32)
+            if len(nn):
+                out[notna] = shard_of(metro64_batch(nn), num_shards)
+            return pd.Series(out)
 
         probe_sh = probe.withColumn("__shard", shard_udf(F.col(key_col)))
 
@@ -465,13 +483,21 @@ def sharded_might_contain_join(
                 f"blob rows — duplicate rows per shard (were two builds' "
                 f"frames unioned?)")
         kern = CuckooProbe(bytes(right["blob"].iloc[0]))
+        out = left[cols].copy()
         if hash_fn == "xxhash64":
             h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
+            idx, tag = params.split(h)
+            out[flag_col] = kern.contain_hashed(idx, tag)
         else:
-            h = metro64_batch(left[key_col])
-        idx, tag = params.split(h)
-        out = left[cols].copy()
-        out[flag_col] = kern.contain_hashed(idx, tag)
+            from cuckoo_filter_spark.hashing import key_mask_and_values
+
+            # NULL probe keys answer False; dtype-canonicalized
+            nn, notna = key_mask_and_values(left[key_col])
+            flags = np.zeros(len(notna), dtype=bool)
+            if len(nn):
+                idx, tag = params.split(metro64_batch(nn))
+                flags[notna] = kern.contain_hashed(idx, tag)
+            out[flag_col] = flags
         return out
 
     blobs_sh = shards_df.withColumnRenamed("shard", "__shard")
@@ -541,7 +567,16 @@ def sharded_delete(
 
         @pandas_udf("int")
         def shard_udf(keys: pd.Series) -> pd.Series:
-            return pd.Series(shard_of(metro64_batch(keys), num_shards))
+            from cuckoo_filter_spark.hashing import key_mask_and_values
+
+            # NULL keys route to shard 0 (any shard works: the probe
+            # itself answers False for them) instead of crashing the
+            # hash; integral dtype restored for null-bearing batches
+            nn, notna = key_mask_and_values(keys)
+            out = np.zeros(len(notna), dtype=np.int32)
+            if len(nn):
+                out[notna] = shard_of(metro64_batch(nn), num_shards)
+            return pd.Series(out)
 
         keyed = keys_df.select(F.col(key_col)).withColumn(
             "__shard", shard_udf(F.col(key_col)))
@@ -573,7 +608,12 @@ def sharded_delete(
         if hash_fn == "xxhash64":
             h = left["__h"].to_numpy(dtype="int64").view(np.uint64)
         else:
-            h = metro64_batch(left[key_col])
+            from cuckoo_filter_spark.hashing import key_mask_and_values
+
+            # NULL delete requests are no-ops (nothing is stored under
+            # NULL) — and must not crash/alias the hash
+            nn, _ = key_mask_and_values(left[key_col])
+            h = metro64_batch(nn) if len(nn) else np.zeros(0, dtype=np.uint64)
         idx, tag = params.split(h)
         ok = kern.delete_hashed(idx, tag)
         return pd.DataFrame(
@@ -641,9 +681,15 @@ def sharded_might_contain_udf(spark, build: ShardedCuckooBuild):
 
     @pandas_udf("boolean")
     def might_contain(keys: pd.Series) -> pd.Series:
-        h = metro64_batch(keys)
-        return pd.Series(
-            _probe_sharded(h, bcast.value, params, num_shards, cache_key=bid)
-        )
+        from cuckoo_filter_spark.hashing import key_mask_and_values
+
+        # NULL probe keys answer False; dtype-canonicalized
+        nn, notna = key_mask_and_values(keys)
+        out = np.zeros(len(notna), dtype=bool)
+        if len(nn):
+            out[notna] = _probe_sharded(
+                metro64_batch(nn), bcast.value, params, num_shards,
+                cache_key=bid)
+        return pd.Series(out)
 
     return might_contain

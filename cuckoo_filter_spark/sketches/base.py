@@ -38,14 +38,21 @@ def build_sketch(df, col: str, make_sketch: Callable[[], object], value_kind: st
         rows = 0
         t0 = time.perf_counter()
         for pdf in batches:
-            vals = pdf[col]
+            # SQL aggregate NULL semantics: NULLs are excluded (a NULL
+            # key would otherwise hash as the '' phantom / crash on
+            # numerics; a NaN would poison quantile sketches), and
+            # integral key identity is restored for null-bearing
+            # batches (the canon_int_keys hazard)
+            from cuckoo_filter_spark.hashing import canon_int_keys
+
+            vals = pdf[col].dropna()
             if len(vals) == 0:
                 continue
             rows += len(vals)
             if value_kind == "numeric":
                 sk.update(vals.to_numpy(dtype="float64"))
             else:
-                sk.update(vals)
+                sk.update(canon_int_keys(vals))
         yield pd.DataFrame(
             {
                 "partition_id": [pid],
@@ -169,11 +176,15 @@ def build_sketches(df, specs: list[tuple]):
                 continue
             rows += len(pdf)
             for sk, (col, _, kind) in zip(sks, specs):
-                vals = pdf[col]
+                from cuckoo_filter_spark.hashing import canon_int_keys
+
+                vals = pdf[col].dropna()  # same NULL/identity rule
+                if len(vals) == 0:
+                    continue
                 if kind == "numeric":
                     sk.update(vals.to_numpy(dtype="float64"))
                 else:
-                    sk.update(vals)
+                    sk.update(canon_int_keys(vals))
         wall = (time.perf_counter() - t0) * 1000.0
         yield pd.DataFrame(
             {

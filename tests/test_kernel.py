@@ -531,3 +531,34 @@ def test_scalar_oracle_rejects_vacuum_blob():
     kern = CuckooKernel(CuckooParams.for_capacity(5000, 4, 16, TABLE_VACUUM))
     with pytest.raises(ValueError, match="Go layouts only"):
         ScalarFilter.decode(kern.to_bytes())
+
+
+def test_null_and_dtype_key_identity():
+    """NULL keys: excluded on add (False), answer False on contain/
+    delete, never alias ''. Int-with-nulls: a bigint batch rendered
+    float64 by Arrow (NULL present) must hash identically to the int64
+    rendering — the exact-anti-join false-negative hazard."""
+    import pandas as pd
+    from cuckoo_filter_spark.kernel.filter import CuckooKernel, CuckooProbe
+
+    k = CuckooKernel.for_capacity(1024)
+    ok = k.add(pd.Series(["a", None, "b"]))
+    assert list(ok) == [True, False, True]
+    assert not k.contain(pd.Series([""]))[0]          # no phantom ''
+    got = k.contain(pd.Series(["a", None, "", "b"]))
+    assert list(got) == [True, False, False, True]
+    assert list(k.delete(pd.Series([None, "a"]))) == [False, True]
+
+    # integral identity across batch renderings
+    ki = CuckooKernel.for_capacity(1024)
+    ki.add(pd.Series([402, 7], dtype="int64"))        # clean int64 batch
+    probe_floaty = pd.Series([402, None, 8], dtype="float64")
+    got = ki.contain(probe_floaty)                    # null-bearing batch
+    assert list(got) == [True, False, False]
+    # and the reverse: built from a null-bearing batch, probed clean
+    kf = CuckooKernel.for_capacity(1024)
+    kf.add(pd.Series([402, None], dtype="float64"))
+    assert kf.contain(pd.Series([402], dtype="int64"))[0]
+    # zero-copy probe path shares the rule
+    pr = CuckooProbe(ki.to_bytes())
+    assert list(pr.contain(probe_floaty)) == [True, False, False]

@@ -331,3 +331,34 @@ def test_count_distinct_partition_default_scales(spark):
     df = spark.range(9_000).select(
         (F.col("id") % 1_234).cast("string").alias("key"))
     assert count_distinct_exact(df, "key", est_rows=10**9) == 1_234
+
+
+def test_nullable_bigint_keys_end_to_end(spark):
+    """metro64 build over a nullable bigint key: no crash, no phantom
+    '' member, NULL probe keys answer False, and the exact anti join
+    returns the SQL-correct complement (the int/float fingerprint split
+    used to create false negatives here)."""
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.operators.query import (
+        cuckoo_anti_join,
+        might_contain_udf,
+    )
+
+    seen = spark.createDataFrame(
+        [(i,) for i in range(500)] + [(None,)], "k long")
+    probe = spark.createDataFrame(
+        [(i,) for i in range(400, 900)] + [(None,), (None,)], "k long")
+    build = build_cuckoo_filter(seen, "k")
+    assert build.metrics  # built without ValueError('null keys...')
+    mc = might_contain_udf(spark, build)
+    flags = {r["k"]: r["f"] for r in
+             probe.select("k", mc(F.col("k")).alias("f")).collect()}
+    assert flags[None] is False          # NULL probes answer False
+    assert all(flags[i] for i in range(400, 500))  # no false negatives
+    out = cuckoo_anti_join(probe, "k", seen, "k")
+    got = sorted((r["k"] is None, r["k"]) for r in out.collect())
+    # SQL NOT-IN-style complement here: rows 500..899 plus the NULL rows
+    # (NULL is never a member; the exact left_anti keeps null-key rows)
+    want = sorted([(False, i) for i in range(500, 900)]
+                  + [(True, None), (True, None)])
+    assert got == want
