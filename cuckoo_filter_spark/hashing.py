@@ -219,6 +219,16 @@ def metro64_batch(items, seed: int = DEFAULT_SEED) -> np.ndarray:
     return metro64_flat(flat, lens, seed)
 
 
+def fmix64(x: np.ndarray, seed=0) -> np.ndarray:
+    """Murmur3 fmix64 finalizer over uint64 arrays — the ONE bit mixer
+    shared by the count-min row hashing and the shingle rolling hash
+    (two hand-copies drifted-by-spelling before; identical math)."""
+    z = x ^ (np.uint64(seed) if isinstance(seed, int) else seed)
+    z = (z ^ (z >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    z = (z ^ (z >> np.uint64(29))) * np.uint64(0xC4CEB9FE1A85EC53)
+    return z ^ (z >> np.uint64(32))
+
+
 def canon_int_keys(vals):
     """Canonical dtype for KEY hashing of a pandas batch.
 

@@ -23,16 +23,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from cuckoo_filter_spark.hashing import metro64_flat, to_flat_bytes
+from cuckoo_filter_spark.hashing import (
+    fmix64 as _mix,
+    metro64_flat,
+    to_flat_bytes,
+)
 
 _U64 = np.uint64
-
-
-def _mix(x: np.ndarray, seed: np.ndarray | int) -> np.ndarray:
-    z = x ^ (np.uint64(seed) if isinstance(seed, int) else seed)
-    z = (z ^ (z >> _U64(33))) * _U64(0xFF51AFD7ED558CCD)
-    z = (z ^ (z >> _U64(29))) * _U64(0xC4CEB9FE1A85EC53)
-    return z ^ (z >> _U64(32))
 
 
 # ---------------------------------------------------------------------------
@@ -124,8 +121,11 @@ def choose_bands(n_perms: int, threshold: float) -> tuple[int, int]:
 def add_minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_perms: int = 64, k: int = 5
 ) -> DataFrame:
-    """→ (id, sig array<long>): one vectorized signature pass."""
-    schema = f"{id_col} long, sig array<long>"
+    """→ (id, sig array<long>): one vectorized signature pass. The id
+    column keeps its OWN Spark type (string doc ids are as legal here
+    as in the simhash/embedding paths)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, sig array<long>"
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,8 +194,11 @@ def minhash_near_dup_pairs(
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold):
     MinHash banding (banding geometry auto-tuned to the threshold) →
     JVM-side signature-similarity prefilter of candidates (keeps pairs
-    with sig-sim ≥ threshold − sig_margin; a true pair failing that is a
-    ~2^-40 tail event at 64 perms) → exact-Jaccard verification."""
+    with sig-sim ≥ threshold − sig_margin; a true pair EXACTLY AT the
+    threshold fails that with probability ≈ exp(−n·KL(t−m ‖ t)) —
+    ~8×10⁻⁴ at t=0.8, m=0.2, 64 perms, vanishing for pairs above the
+    threshold — widen sig_margin when borderline recall matters more
+    than the prefilter's pruning) → exact-Jaccard verification."""
     if bands is None:
         bands, _ = choose_bands(n_perms, threshold)
     # zero-shingle exclusion: texts shorter than k bytes (incl. null /
@@ -317,9 +320,13 @@ def simhash_near_dup_pairs(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("block_id"),
-                    F.shiftrightunsigned(F.col("simhash"), i * block_bits)
-                    .bitwiseAND(F.lit((1 << block_bits) - 1))
-                    .alias("block_val"),
+                    # block_bits == 64 (max_hamming=0, one block) must
+                    # skip the mask: (1<<64)-1 overflows LongType and the
+                    # shift by 0 already yields the full simhash
+                    (F.shiftrightunsigned(F.col("simhash"), i * block_bits)
+                     .bitwiseAND(F.lit((1 << block_bits) - 1))
+                     if block_bits < 64
+                     else F.col("simhash")).alias("block_val"),
                 )
                 for i in range(nblocks)
             ])
@@ -487,6 +494,8 @@ def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
     groups (the duplicates being collapsed), never the unique majority."""
     from cuckoo_filter_spark.functions.text import doc_fingerprint_udf
 
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     fp = doc_fingerprint_udf()
     agg = F.min if keep == "min" else F.max
     slim = df.select(id_col, fp(F.col(text_col)).alias("__fp"))
@@ -502,12 +511,27 @@ def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
     losers = df.join(loser_fp, id_col)
     mism = (
         losers.join(rep_txt, "__fp")
-        .where(F.col(text_col) != F.col("__rep_text"))
+        # null-SAFE inequality: doc_fingerprint fillna('')s, so a NULL-
+        # text row shares ''\'s fingerprint BY CONSTRUCTION (not by
+        # collision) — plain != evaluates NULL and the row would be
+        # silently merged with the empty-string representative
+        .where(~F.col(text_col).eqNullSafe(F.col("__rep_text")))
         .drop("__rep_text")
     )
-    # exact representative per collided text (tiny set; usually empty)
+    # exact representative per collided text (tiny set; usually empty);
+    # the restore join must be NULL-SAFE on the text too — a plain
+    # equality join drops the NULL-text group (NULL == NULL is NULL)
+    # that the eqNullSafe mismatch filter above deliberately kept
     fixed_reps = mism.groupBy("__fp", text_col).agg(agg(F.col(id_col)).alias(id_col))
-    fixed = mism.join(fixed_reps, [id_col, "__fp", text_col], "left_semi")
+    fr = fixed_reps.alias("__fr")
+    ms = mism.alias("__ms")
+    fixed = ms.join(
+        fr,
+        on=(F.col(f"__ms.{id_col}") == F.col(f"__fr.{id_col}"))
+        & (F.col("__ms.__fp") == F.col("__fr.__fp"))
+        & F.col(f"__ms.{text_col}").eqNullSafe(F.col(f"__fr.{text_col}")),
+        how="left_semi",
+    )
     return kept.unionByName(fixed.drop("__fp"))
 
 
@@ -603,7 +627,11 @@ def embedding_near_dup_pairs(
 
     spark = df.sparkSession
     if n_planes is None or n_tables is None:
-        n = approx_count if approx_count is not None else df.count()
+        # size on the rows that actually participate: null-vector rows
+        # are excluded from the candidate scan below, and counting them
+        # here would inflate n (extra plane -> lower per-band recall)
+        n = (approx_count if approx_count is not None
+             else df.where(F.col(vec_col).isNotNull()).count())
         auto_p, auto_t = choose_embedding_lsh(max(n, 1), threshold,
                                               target_recall)
         n_planes = n_planes if n_planes is not None else auto_p
@@ -693,14 +721,10 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    # norm clamp 1e-12 (same guard as similarity._cosine_rank): zero
-    # vectors project to bucket 0 in EVERY table, so all-zeros
-    # embeddings always become candidate pairs, and 0.0/0.0 under Spark
-    # 4's default ANSI mode would kill the whole job with
-    # DIVIDE_BY_ZERO; clamped, a zero vector scores 0.0 and never
-    # clears the threshold
-    norm = lambda c: F.greatest(F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a2, x: a2 + x)
-    ), F.lit(1e-12))
+    # zero vectors project to bucket 0 in EVERY table, so all-zeros
+    # embeddings always become candidate pairs — the shared clamped
+    # norm keeps them at score 0.0 instead of ANSI DIVIDE_BY_ZERO
+    from cuckoo_filter_spark.operators.similarity import clamped_norm_expr
+    norm = clamped_norm_expr
     cos = (dot / (norm(F.col("vec_a")) * norm(F.col("vec_b")))).alias("cosine")
     return joined.select("id_a", "id_b", cos).where(F.col("cosine") >= threshold)

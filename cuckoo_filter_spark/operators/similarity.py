@@ -67,7 +67,21 @@ def _collect_queries(queries, query_id_col: str, query_vec_col: str):
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
-def _cosine_rank(joined: DataFrame, vec_col: str, id_col: str, k: int) -> DataFrame:
+def clamped_norm_expr(c):
+    """L2 norm of an array<double> column, clamped at 1e-12 — Spark 4
+    runs ANSI mode by default and an all-zeros embedding (common
+    padding / missing-vector value) would otherwise kill the whole job
+    with DIVIDE_BY_ZERO; clamped, a zero vector scores 0.0 against
+    everything. THE one spelling shared by _cosine_rank and
+    dedup.embedding_near_dup_pairs (hand-copies drifted before)."""
+    return F.greatest(F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                    lambda a, x: a + x)
+    ), F.lit(1e-12))
+
+
+def _cosine_rank(joined: DataFrame, vec_col: str, id_col: str, k: int,
+                 exclude_self: bool = True) -> DataFrame:
     """Exact cosine scoring + per-query top-k over a candidate join
     (shared by ivf_top_k and lsh_top_k). Norms are clamped at 1e-12 —
     the same guard brute_force_top_k applies — because Spark 4 runs
@@ -79,17 +93,20 @@ def _cosine_rank(joined: DataFrame, vec_col: str, id_col: str, k: int) -> DataFr
         F.zip_with(F.col(vec_col).cast("array<double>"), "qvec", lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    norm = lambda c: F.greatest(F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    ), F.lit(1e-12))
+    norm = clamped_norm_expr
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         (dot / (norm(F.col(vec_col).cast("array<double>")) * norm(F.col("qvec"))))
         .alias("score"),
-    ).where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
     )
+    if exclude_self:
+        # query/doc ids share a space in the self-search regime; callers
+        # whose query-id space is UNRELATED to the doc ids must pass
+        # exclude_self=False or a doc numerically equal to the query id
+        # silently vanishes from its results
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -120,6 +137,11 @@ def brute_force_top_k(
     Returns (query_id, neighbor_id, score, rank) with rank 1..k by
     descending cosine (ties broken by neighbor_id for determinism).
     """
+    if metric not in ("cosine", "dot"):
+        raise ValueError(
+            f"metric must be 'cosine' or 'dot', got {metric!r} — an "
+            "unknown metric would silently return raw dot-product "
+            "rankings")
     spark = df.sparkSession
     # null-vector rows can match nothing and would crash _as_matrix
     # inside the scoring UDF (same exclusion as embedding_near_dup_pairs)
@@ -334,7 +356,7 @@ def ivf_top_k(
     queries: "list[tuple[int, list[float]]] | DataFrame", k: int = 10,
     n_cells: int | None = None, nprobe: int = 8, seed: int = 11,
     query_id_col: str = "query_id", query_vec_col: str = "qvec",
-    approx_count: int | None = None,
+    approx_count: int | None = None, exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe only the nprobe nearest cells per
     query; exact cosine inside the probed cells. n_cells=None auto-sizes
@@ -377,7 +399,8 @@ def ivf_top_k(
         qdf = spark.createDataFrame(
             rows, "query_id long, cell int, qvec array<double>")
         joined = indexed.join(F.broadcast(qdf), "cell")
-    return _cosine_rank(joined, vec_col, id_col, k)
+    return _cosine_rank(joined, vec_col, id_col, k,
+                        exclude_self=exclude_self)
 
 
 # ---------------------------------------------------------------------------
@@ -453,6 +476,7 @@ def lsh_top_k(
     seed: int = 7,
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe only LSH buckets within hamming ≤
     ``multiprobe_hamming`` of each query's bucket, exact cosine inside.
@@ -499,6 +523,13 @@ def lsh_top_k(
                .dropDuplicates(["query_id", "bucket"]))
         joined = bucketed.join(qdf, "bucket")
     else:
+        if not queries:
+            # zero queries legitimately means an empty result (same
+            # contract as brute_force_top_k), not an IndexError probing
+            # queries[0] for the dimension
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, score double, "
+                    "rank int")
         planes = _hyperplanes(len(queries[0][1]), n_planes, seed)
         rows = []
         for qid, vec in queries:
@@ -512,4 +543,5 @@ def lsh_top_k(
         qdf = spark.createDataFrame(
             rows, "query_id long, bucket long, qvec array<double>")
         joined = bucketed.join(F.broadcast(qdf), "bucket")
-    return _cosine_rank(joined, vec_col, id_col, k)
+    return _cosine_rank(joined, vec_col, id_col, k,
+                        exclude_self=exclude_self)

@@ -14,20 +14,11 @@ import struct
 
 import numpy as np
 
+from cuckoo_filter_spark.hashing import fmix64 as _mix
 from cuckoo_filter_spark.hashing import metro64_batch
 
 _MAGIC = b"CMS1"
 _ROW_SEEDS = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _mix(h: np.ndarray, seed: np.ndarray) -> np.ndarray:
-    x = h ^ seed
-    x ^= x >> np.uint64(33)
-    x *= np.uint64(0xFF51AFD7ED558CCD)
-    x ^= x >> np.uint64(29)
-    x *= np.uint64(0xC4CEB9FE1A85EC53)
-    x ^= x >> np.uint64(32)
-    return x
 
 
 class CountMinSketch:

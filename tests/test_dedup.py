@@ -358,3 +358,53 @@ def test_zero_shingle_docs_excluded_from_near_dup(spark):
     assert {(r["id_a"], r["id_b"]) for r in mh} == {(100, 101)}
     sh = simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=3).collect()
     assert {(r["id_a"], r["id_b"]) for r in sh} == {(100, 101)}
+
+
+def test_content_hash_null_vs_empty_not_merged(spark):
+    """doc_fingerprint fillna('')s, so NULL text shares ''\'s
+    fingerprint BY CONSTRUCTION — the verify step must restore the
+    NULL-text row (plain != evaluated NULL and silently merged it)."""
+    from cuckoo_filter_spark.operators.dedup import dedup_by_content_hash
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x"), (4, "x")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            dedup_by_content_hash(df, "text", id_col="doc_id").collect()}
+    assert kept == {1, 2, 3}  # NULL-text row survives; x deduped
+
+
+def test_content_hash_keep_validated(spark):
+    from cuckoo_filter_spark.operators.dedup import dedup_by_content_hash
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="keep must be"):
+        dedup_by_content_hash(df, "text", keep="first", id_col="doc_id")
+
+
+def test_simhash_max_hamming_zero(spark):
+    """max_hamming=0 => one 64-bit block; the (1<<64)-1 mask literal
+    overflowed LongType before."""
+    from cuckoo_filter_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely different text about something else entirely")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_dup_pairs(
+        df, "text", "doc_id", max_hamming=0).collect()}
+    assert (1, 2) in pairs
+
+
+def test_minhash_string_ids(spark):
+    from cuckoo_filter_spark.operators.dedup import minhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [("u1", "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+         ("u2", "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+         ("u3", "totally unrelated words here and there everywhere")],
+        "url string, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_near_dup_pairs(
+        df, "text", "url", threshold=0.9).collect()}
+    assert ("u1", "u2") in pairs

@@ -256,3 +256,34 @@ def test_null_vectors_dropped_all_paths(spark):
                  for r in fn(with_nulls, "embedding", "vec_id",
                              qdf_nulls, k=3, **kw).collect()}
         assert got_q == want, fn.__name__  # null query dropped
+
+
+def test_metric_validated_and_lsh_empty_queries(spark):
+    from cuckoo_filter_spark.operators.similarity import (
+        brute_force_top_k,
+        lsh_top_k,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="metric"):
+        brute_force_top_k(df, "embedding", "vec_id", [(0, [1.0, 0.0])],
+                          metric="euclidean")
+    assert lsh_top_k(df, "embedding", "vec_id", []).count() == 0
+
+
+def test_exclude_self_opt_out_in_ivf(spark):
+    """Query ids UNRELATED to doc ids: exclude_self=False must keep the
+    doc whose id numerically equals the query id."""
+    from cuckoo_filter_spark.operators.similarity import ivf_top_k
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>")
+    out = ivf_top_k(df, "embedding", "vec_id", [(1, [1.0, 0.0])],
+                    k=3, n_cells=1, nprobe=1, exclude_self=False)
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert got[0] == 1  # the numerically-colliding doc IS the best match
+    out2 = ivf_top_k(df, "embedding", "vec_id", [(1, [1.0, 0.0])],
+                     k=3, n_cells=1, nprobe=1)  # default excludes
+    assert 1 not in [r["neighbor_id"] for r in out2.collect()]
