@@ -237,17 +237,40 @@ def canon_int_keys(vals):
     hash as 8 ``<f8`` bytes in one batch and 8 ``<i8`` bytes in another,
     silently splitting fingerprint identity between build and probe
     (exact-anti-join FALSE NEGATIVES). A float batch whose values are
-    all finite, integral, and within int64 range is therefore restored
-    to int64 before hashing. Genuinely fractional float keys keep float
-    identity — float keys are NOT supported as membership keys (same
-    caveat as operators/sampling's key-type contract: use a stable
-    string/integral form)."""
+    all integral is therefore restored to int64 before hashing.
+
+    Fail-loud hardening (ADVICE r6): float keys are NOT supported as
+    membership keys, and the two silent failure modes now raise —
+
+    * a non-integral float batch means the caller really passed float
+      keys; the old behavior hashed them with batch-composition-
+      DEPENDENT identity ([2.0] restored to int64, [2.0, 2.5] left
+      float64) — a silent cross-batch identity split;
+    * an integral batch with magnitudes beyond float64's exact-integer
+      range (2^53) means Arrow's float64 rendering already LOST the
+      original int64 values (e.g. a bigint column holding 64-bit
+      fingerprints with interleaved NULL batches) — the restored int64
+      would be silently wrong. Hash such columns as strings
+      (``CAST(key AS STRING)`` — the streaming paths' convention) or
+      exclude NULLs JVM-side so batches stay int64 end-to-end."""
     if getattr(vals, "dtype", None) is not None and vals.dtype.kind == "f" \
             and len(vals):
         v = vals.to_numpy()
-        if (np.isfinite(v).all() and (v == np.floor(v)).all()
-                and (np.abs(v) < 2 ** 63).all()):
-            return vals.astype("int64")
+        if not (np.isfinite(v).all() and (v == np.floor(v)).all()):
+            raise TypeError(
+                "canon_int_keys: non-integral float key batch — float "
+                "keys are not supported as membership keys (their hash "
+                "identity would depend on batch composition); cast to a "
+                "stable string/integral form first")
+        if (np.abs(v) > 2.0 ** 53).any():
+            raise ValueError(
+                "canon_int_keys: integral key batch beyond float64's "
+                "exact-integer range (|key| > 2^53) arrived as float64 "
+                "(Arrow renders null-bearing bigint batches as float64) "
+                "— the original values are already lost, so restoring "
+                "int64 would silently mis-hash; CAST the key to STRING "
+                "or drop NULLs JVM-side so batches stay int64")
+        return vals.astype("int64")
     return vals
 
 

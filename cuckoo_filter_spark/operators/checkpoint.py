@@ -159,7 +159,15 @@ def build_checkpointed(
             # and APPEND every shard next to the rows already on disk —
             # permanent duplicates (double metrics, cogroup probes raise
             # on dup blob rows). Fail loud on anything else.
-            if any(os.scandir(sdir)):
+            # closed scandir + temp/hidden entries ignored (ADVICE r6):
+            # a crashed FIRST attempt can leave only Spark scratch
+            # (_temporary, ._*-marker files) with nothing committed —
+            # that is a fresh dir, not a corrupt resume; only real
+            # committed entries make the unreadability fatal
+            with os.scandir(sdir) as it:
+                has_committed = any(
+                    not e.name.startswith(("_", ".")) for e in it)
+            if has_committed:
                 raise RuntimeError(
                     f"checkpoint shards dir {sdir} is non-empty but "
                     "unreadable — refusing to resume (recomputing would "

@@ -133,8 +133,38 @@ def bloom_might_contain_udf(spark, sketch: "BloomSketch | bytes"):
     return might_contain
 
 
+#: Refuse single-filter Bloom builds whose geometry exceeds this many
+#: bits (VERDICT r6 #2). n_bits is not just the result size — it is the
+#: size of EVERY per-partition partial, so a capacity-10^9 build at
+#: fpp=0.01 would make each scan task emit a ~1.2 GB blob and ship
+#: num_partitions × that through the combine. 2^31 bits = 256 MiB per
+#: blob keeps partials trivially collectable; beyond it, shard the
+#: keyspace (one bounded BloomSketch per shard via capacity_hint) or
+#: use the sharded cuckoo build (operators.sharded.
+#: build_sharded_cuckoo_filter), whose per-shard blobs stay ~2.1 B/key
+#: and are combined/persisted by executors.
+BLOOM_MAX_PARTIAL_BITS = 1 << 31
+
+
+def _check_bloom_geometry(capacity: int, fpp: float,
+                          max_partial_bits: int) -> None:
+    probe = BloomSketch(capacity=max(capacity, 64), fpp=fpp)
+    if probe.n_bits > max_partial_bits:
+        raise ValueError(
+            f"build_bloom_deferred: capacity {capacity} at fpp={fpp} needs "
+            f"a {probe.n_bits >> 23} MiB filter, and every per-partition "
+            f"PARTIAL is that same size (num_partitions x blob through the "
+            f"combine) — above max_partial_bits={max_partial_bits} bits "
+            f"({max_partial_bits >> 23} MiB). Shard the keyspace (one "
+            f"bounded BloomSketch per shard, capacity_hint per shard) or "
+            f"use operators.sharded.build_sharded_cuckoo_filter, whose "
+            f"per-shard blobs stay ~2.1 B/key and never transit the driver")
+
+
 def build_bloom_deferred(df, key_col: str, fpp: float = 0.01,
-                         capacity_hint: int | None = None):
+                         capacity_hint: int | None = None,
+                         max_partial_bits: int = BLOOM_MAX_PARTIAL_BITS,
+                         tree_merge_at: int | None = None):
     """Distributed Bloom build with DEFERRED sizing — no capacity
     ``count()`` scan of the build side (VERDICT r4 #4; the cuckoo
     deferred-sizing pattern, operators/build.py).
@@ -151,14 +181,26 @@ def build_bloom_deferred(df, key_col: str, fpp: float = 0.01,
     rate) even the hash checkpoint is skipped and the classic one-pass
     ``build_sketch`` path runs.
 
-    Returns (BloomSketch, metrics) like ``build_sketch``.
+    Returns (BloomSketch, metrics) like ``build_sketch``. Geometry is
+    bounded by ``max_partial_bits`` — see BLOOM_MAX_PARTIAL_BITS; the
+    combine itself goes through base.collect_and_merge (direct driver
+    reduce at local partition counts, one executor-side tree level
+    above TREE_MERGE_AT partitions).
     """
-    from cuckoo_filter_spark.sketches.base import build_sketch
+    from cuckoo_filter_spark.sketches.base import (
+        TREE_MERGE_AT,
+        _num_plan_partitions,
+        build_sketch,
+        collect_and_merge,
+    )
 
+    tma = TREE_MERGE_AT if tree_merge_at is None else tree_merge_at
     if capacity_hint is not None:
+        _check_bloom_geometry(capacity_hint, fpp, max_partial_bits)
         return build_sketch(
             df, key_col,
-            lambda: BloomSketch(capacity=max(capacity_hint, 64), fpp=fpp))
+            lambda: BloomSketch(capacity=max(capacity_hint, 64), fpp=fpp),
+            tree_merge_at=tma)
 
     import time
 
@@ -171,7 +213,9 @@ def build_bloom_deferred(df, key_col: str, fpp: float = 0.01,
 
     hashed = df.select(key_col).mapInPandas(hasher, "h bigint").localCheckpoint()
     n = hashed.count()  # reads the checkpoint, not the source
-    schema = "partition_id int, rows bigint, wall_ms double, blob binary"
+    _check_bloom_geometry(n, fpp, max_partial_bits)
+    schema = ("partition_id int, sketch_id int, rows bigint, "
+              "wall_ms double, blob binary")
 
     def partial(batches):
         from pyspark import TaskContext
@@ -186,17 +230,16 @@ def build_bloom_deferred(df, key_col: str, fpp: float = 0.01,
             rows += len(pdf)
             sk.update_hashed(pdf["h"].to_numpy(dtype="int64").view(np.uint64))
         yield pd.DataFrame(
-            {"partition_id": [pid], "rows": [rows],
+            {"partition_id": [pid], "sketch_id": [0], "rows": [rows],
              "wall_ms": [(time.perf_counter() - t0) * 1000.0],
              "blob": [sk.to_bytes()]})
 
-    rows = hashed.mapInPandas(partial, schema).collect()
+    parts = hashed.mapInPandas(partial, schema)
+    (merged,), rows = collect_and_merge(
+        parts, [lambda: BloomSketch(capacity=max(n, 64), fpp=fpp)],
+        _num_plan_partitions(hashed), tma)
     metrics = [
         {"partition_id": r["partition_id"], "rows": r["rows"],
          "wall_ms": r["wall_ms"]} for r in rows
     ]
-    merged = BloomSketch(capacity=max(n, 64), fpp=fpp)
-    for r in rows:
-        if r["rows"] > 0:
-            merged = merged.merge(BloomSketch.from_bytes(bytes(r["blob"])))
     return merged, metrics

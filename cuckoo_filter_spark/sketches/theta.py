@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import struct
 import time
-from functools import reduce
 from typing import Iterator
 
 import numpy as np
@@ -204,7 +203,7 @@ def theta_jaccard(a: ThetaSketch, b: ThetaSketch) -> float:
 
 
 def build_theta_sketches(
-    df, cols: list[str], k: int = 4096,
+    df, cols: list[str], k: int = 4096, tree_merge_at: int | None = None,
 ) -> tuple[list[ThetaSketch], list[dict]]:
     """ONE scan -> one ThetaSketch per column, with NULLs excluded.
 
@@ -218,8 +217,10 @@ def build_theta_sketches(
     targets; pure non-null int columns take the Arrow path untouched).
 
     Scale shape: per-partition partials in mapInPandas, one <= ~8k*
-    len(cols) byte blob row per partition collected, driver reduce —
-    the build_sketch pattern (base.py), zero shuffle of raw keys.
+    len(cols) byte blob row per partition, combined via
+    base.collect_and_merge — direct driver reduce at local partition
+    counts, ONE executor-side tree level above TREE_MERGE_AT partitions
+    (the 10^5+-task regime); zero shuffle of raw keys either way.
     Returns ([sketch per col], metrics rows).
     """
     from pyspark.sql import types as T
@@ -261,12 +262,18 @@ def build_theta_sketches(
             }
         )
 
-    rows = df.select(*cols).mapInPandas(partial, schema).collect()
-    merged = []
-    for sid in range(len(cols)):
-        parts = (ThetaSketch.from_bytes(bytes(r["blob"])) for r in rows
-                 if r["sketch_id"] == sid and r["rows"] > 0)
-        merged.append(reduce(lambda a, b: a.merge(b), parts, ThetaSketch(k=k)))
+    from cuckoo_filter_spark.sketches.base import (
+        TREE_MERGE_AT,
+        _num_plan_partitions,
+        collect_and_merge,
+    )
+
+    seldf = df.select(*cols)
+    parts = seldf.mapInPandas(partial, schema)
+    merged, rows = collect_and_merge(
+        parts, [lambda: ThetaSketch(k=k) for _ in cols],
+        _num_plan_partitions(seldf),
+        TREE_MERGE_AT if tree_merge_at is None else tree_merge_at)
     metrics = [
         {"partition_id": r["partition_id"], "sketch_id": r["sketch_id"],
          "rows": r["rows"], "wall_ms": r["wall_ms"]}

@@ -229,8 +229,11 @@ def _sessionize_tws(prepped: DataFrame, key_col: str, gap_us: int,
             # REPLACES), tws timers are keyed (group, timestamp) —
             # session extension shifts the expiry every batch, and the
             # superseded timers would pile up one per batch and each
-            # fire a spurious handleExpiredTimer pass; delete them first
-            for t in self._handle.listTimers():
+            # fire a spurious handleExpiredTimer pass; delete them first.
+            # Materialize before mutating (ADVICE r6): listTimers is a
+            # lazily-paged state-server iterator — deleting mid-iteration
+            # is not a guaranteed-safe pattern.
+            for t in list(self._handle.listTimers()):
                 if t != ts_ms:
                     self._handle.deleteTimer(t)
             self._handle.registerTimer(ts_ms)
