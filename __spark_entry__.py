@@ -52,6 +52,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, materialize: bool = False) -> DataFrame:
+    """Scale-adaptive scan spread (operators/spread.py, r7): the bench
+    testdata tables are single-row-group parquet files, so every
+    map-side compute stage fused onto their scan (metro64 probe UDFs,
+    regex projections, n-gram explodes, signature UDFs) otherwise runs
+    in ONE task regardless of session cores. Tiny under-partitioned
+    inputs round-robin to the session parallelism; at corpus scale the
+    size bound makes this an exact no-op (zero added Exchange — the
+    100 TB map-side shapes in PLANS.md are unchanged). Queries whose
+    estimators are partition-SENSITIVE (quantile_sketches' t-digest)
+    deliberately do not use it."""
+    from cuckoo_filter_spark.operators.spread import spread_small_input
+
+    return spread_small_input(df, materialize=materialize)
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp on fast local scratch for THROWAWAY per-invocation
+    artifacts: fresh streaming checkpoints of bounded availableNow
+    drains, stream-source symlink dirs, local-mode shard blobs — never
+    durable state (real deployments pass SPARK_GRAFT_TMP /
+    SPARK_GRAFT_SHARD_DIR to shared storage). The VM's ext4 root shows
+    multi-10s writeback stalls; /dev/shm sidesteps them — the same
+    trade bench.py makes for spark.local.dir."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_TMP")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -519,8 +551,8 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuckoo_filter_spark.operators.decontam import decontaminate
 
     docs = _t(spark, sf_dir, "documents")
-    bench = docs.where(F.col("doc_id") % 10 == 5)
-    train = docs.where(F.col("doc_id") % 10 != 5)
+    bench = _spread(docs.where(F.col("doc_id") % 10 == 5))
+    train = _spread(docs.where(F.col("doc_id") % 10 != 5))
     return decontaminate(train, "doc_id", "text", bench, n=8).orderBy("doc_id")
 
 
@@ -536,7 +568,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_ngram_count_udf,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     top2 = top_ngram_count_udf(2)
     top3 = top_ngram_count_udf(3)
     n_tokens = token_count_expr("text")
@@ -568,7 +600,12 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    chunked = docs.select("doc_id", chunk_lines_expr("text", 10).alias("text"))
+    # spread + checkpoint (r7): chunk_lines_expr (tokenize + slice-join)
+    # is referenced by three dedup_lines subplans — materializing the
+    # tiny chunked frame computes it once, 32-way, instead of 3x serial
+    chunked = _spread(
+        docs.select("doc_id", chunk_lines_expr("text", 10).alias("text")),
+        materialize=True)
     out = dedup_lines(chunked, "text", "doc_id")
     return (
         out.where(F.col("n_lines_removed") > 0)
@@ -590,7 +627,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final tiny aggregate."""
     from cuckoo_filter_spark.functions.pii import pii_count_exprs, redact_pii
 
-    c = _t(spark, sf_dir, "customer")
+    c = _spread(_t(spark, sf_dir, "customer"))
     k = F.col("c_custkey")
     s = lambda x: x.cast("string")  # noqa: E731
     email = F.concat(F.lit("user"), s(k), F.lit("@mail"), s(k % 7),
@@ -797,7 +834,7 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a collision would conflate two grams and shift a count)."""
     from cuckoo_filter_spark.operators.spans import repeated_span_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     planted_tail = (" the planted span marker sentence that repeats"
                     " verbatim across documents")
     tx = F.when(
@@ -868,12 +905,21 @@ def q_chunk_embed_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _planted_batch(spark: SparkSession, sf_dir: str,
+                   materialize: bool = False) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.where(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
-    return docs.unionByName(copies)
+    # spread+checkpoint (r7, materialize=True callers only): the
+    # signature UDF passes over this batch dominate its multi-branch
+    # consumers (three near-dup algorithms + byte-verify joins re-read
+    # it up to 7x) and otherwise run single-task on the single-row-
+    # group scan. Single-pass consumers (doc_fingerprint) measured
+    # FASTER without the spread (the Exchange outweighs one cheap
+    # pass), so the default stays un-spread.
+    batch = docs.unionByName(copies)
+    return _spread(batch, materialize=True) if materialize else batch
 
 
 def _verify_byte_equal(batch: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -914,7 +960,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_near_dup_pairs,
     )
 
-    batch = _planted_batch(spark, sf_dir)
+    batch = _planted_batch(spark, sf_dir, materialize=True)
     mh = _verify_byte_equal(
         batch,
         minhash_near_dup_pairs(batch, "text", "doc_id", threshold=0.95)
@@ -959,7 +1005,7 @@ def q_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fingerprint, id) pairs shuffle, never the text bodies)."""
     from cuckoo_filter_spark.operators.dedup import dedup_by_content_hash
 
-    batch = _planted_batch(spark, sf_dir)
+    batch = _planted_batch(spark, sf_dir, materialize=True)
     kept = dedup_by_content_hash(batch, "text", keep="min", id_col="doc_id")
     return kept.agg(F.count(F.lit(1)).alias("n_kept"),
                     F.sum("doc_id").alias("sum_ids"))
@@ -980,7 +1026,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"), "text")
     c2 = docs.where(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 20000).alias("doc_id"), "text")
-    batch = docs.unionByName(c1).unionByName(c2)
+    batch = _spread(docs.unionByName(c1).unionByName(c2), materialize=True)
     cands = minhash_near_dup_pairs(batch, "text", "doc_id", threshold=0.95)
     pairs = _verify_byte_equal(batch, cands.select("id_a", "id_b"))
     kept = collapse_near_dup_clusters(batch, pairs, id_col="doc_id")
@@ -997,7 +1043,7 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.where(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
-    batch = emb.unionByName(copies)
+    batch = _spread(emb.unionByName(copies), materialize=True)
     cands = embedding_near_dup_pairs(batch, "embedding", "vec_id",
                                      threshold=0.999)
     va = batch.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -1020,13 +1066,13 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bloom_deferred,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(_t(spark, sf_dir, "lineitem"))
     hi = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
     # exactly ONE scan of the build side (VERDICT r4 #4): the key frame
     # is checkpointed once and feeds BOTH the deferred-sized bloom build
     # (which hashes + counts the slim checkpoint, never rescanning
     # orders) and the exact verification join
-    rhs = hi.select("o_orderkey").localCheckpoint()
+    rhs = _spread(hi.select("o_orderkey")).localCheckpoint()
     bloom, _ = build_bloom_deferred(rhs, "o_orderkey", fpp=0.01)
     mc = bloom_might_contain_udf(spark, bloom)
     pruned = li.where(mc(F.col("l_orderkey")))
@@ -1053,7 +1099,7 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalize equal, the :8443 variant stays distinct."""
     from cuckoo_filter_spark.functions.web import canonical_url
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    o = _spread(_t(spark, sf_dir, "orders").select("o_orderkey"))
     k = F.col("o_orderkey")
     m = F.floor(k / 4)  # logical URL id: keys 4m..4m+3 spell the same URL
     h = (m % 97).cast("string")
@@ -1227,7 +1273,6 @@ def q_cogroup_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import os
     import shutil
-    import tempfile
 
     from cuckoo_filter_spark.operators.sharded import (
         build_sharded_cuckoo_filter,
@@ -1238,7 +1283,7 @@ def q_cogroup_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     base = os.environ.get("SPARK_GRAFT_SHARD_DIR")
     if base is None:
-        base = tempfile.mkdtemp(prefix="cogroup_shards_")
+        base = _scratch_dir("cogroup_shards_")
         # deferred: the probe below is lazy — blobs are read when the
         # caller collects, so the dir must outlive this function
         atexit.register(shutil.rmtree, base, ignore_errors=True)
@@ -1322,10 +1367,8 @@ def _stream_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """readStream over a testdata table. The file stream source requires
     a DIRECTORY, and the testdata tables are single files — symlink the
     file into a scratch dir (testdata itself is read-only)."""
-    import tempfile
-
     src = f"{sf_dir}/{name}.parquet"
-    d = tempfile.mkdtemp(prefix=f"stream_src_{name}_")
+    d = _scratch_dir(f"stream_src_{name}_")
     os.symlink(os.path.abspath(src), os.path.join(d, f"{name}.parquet"))
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(d)
@@ -1333,12 +1376,14 @@ def _stream_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _run_stream(df_stream, query_name: str, output_mode: str):
     """Run a streaming DataFrame to a memory sink with availableNow and
-    block until drained; returns the sink table name."""
-    import tempfile
+    block until drained; returns the sink table name. The checkpoint is
+    a FRESH throwaway dir per invocation (these bounded drains never
+    resume), so it lives on fast local scratch — durable checkpoints
+    belong to callers who pass their own checkpointLocation."""
     import uuid
 
     qn = f"{query_name}_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{query_name}_")
+    ck = _scratch_dir(f"ck_{query_name}_")
     q = (
         df_stream.writeStream.format("memory").queryName(qn)
         .outputMode(output_mode)

@@ -50,6 +50,7 @@ def decontaminate(
     exact: bool = True,
     broadcast_verify: bool = True,
     build=None,
+    materialize_bgrams: bool = True,
     **build_kwargs,
 ) -> DataFrame:
     """Per-doc contamination counts: ``(id_col, hit_grams)`` for every
@@ -65,6 +66,15 @@ def decontaminate(
     sides beyond executor memory — the verify becomes a shuffle join of
     the (already filter-pruned, tiny) hit set instead.
 
+    ``materialize_bgrams`` (default True) localCheckpoints the distinct
+    benchmark-gram frame so the filter build and the exact verify join
+    read ONE materialization instead of re-running the benchmark
+    explode + distinct per consumer. Sound at any scale this operator
+    targets: the benchmark side is small by construction (module
+    docstring) — the verify join already BROADCASTS the same frame, so
+    materializing it assumes nothing broadcast didn't. Pass False to
+    keep the recompute-per-consumer plan.
+
     ``build`` / ``build_kwargs`` pass through to
     :func:`~cuckoo_filter_spark.operators.build.build_cuckoo_filter`
     (hash_fn, tags_per_bucket, bits_per_item, ...).
@@ -77,6 +87,9 @@ def decontaminate(
     spark = train.sparkSession
     bench_col = bench_text_col or text_col
     bgrams = benchmark_ngrams(benchmark, bench_col, n)
+    # only worth materializing when >1 consumer actually reads it
+    if materialize_bgrams and exact and build is None:
+        bgrams = bgrams.localCheckpoint(eager=True)
     if build is None:
         build = build_cuckoo_filter(bgrams, "gram", **build_kwargs)
     mc = might_contain_udf(spark, build)
