@@ -1371,10 +1371,19 @@ def _stream_source(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     d = _scratch_dir(f"stream_src_{name}_")
     os.symlink(os.path.abspath(src), os.path.join(d, f"{name}.parquet"))
     schema = spark.read.parquet(src).schema
+    global _LAST_STREAM_SRC_BYTES
+    _LAST_STREAM_SRC_BYTES = os.path.getsize(src)
     return spark.readStream.schema(schema).parquet(d)
 
 
-def _run_stream(df_stream, query_name: str, output_mode: str):
+#: _stream_source → _run_stream side-channel: the most recent source's
+#: input bytes, for scale-adaptive state-partition sizing (each query
+#: builds exactly one source and immediately drains it).
+_LAST_STREAM_SRC_BYTES: int | None = None
+
+
+def _run_stream(df_stream, query_name: str, output_mode: str,
+                adaptive_state: bool = True):
     """Run a streaming DataFrame to a memory sink with availableNow and
     block until drained; returns the sink table name. The checkpoint is
     a FRESH throwaway dir per invocation (these bounded drains never
@@ -1384,17 +1393,41 @@ def _run_stream(df_stream, query_name: str, output_mode: str):
 
     qn = f"{query_name}_{uuid.uuid4().hex[:8]}"
     ck = _scratch_dir(f"ck_{query_name}_")
-    q = (
-        df_stream.writeStream.format("memory").queryName(qn)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True).start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {qn} did not drain in 300s — the memory "
-            f"sink would be partial (silent undercounts)")
+    spark = df_stream.sparkSession
+    # scale-adaptive streaming state width (r7): stateful ops pin their
+    # state-store partition count to spark.sql.shuffle.partitions at
+    # query start, and AQE cannot coalesce streaming state — so a tiny
+    # bounded drain pays (session partitions) state tasks per
+    # micro-batch no matter how little data flows. Derive the width
+    # from the drain's input size (~8 MiB of input per state
+    # partition), never above the session setting: a corpus-scale
+    # stream keeps the configured width, only trivially small drains
+    # narrow. Restored after the drain (availableNow persists the
+    # width in its own checkpoint; later queries see the session
+    # value). Pure execution topology — results are unchanged.
+    # adaptive_state=False opts out for HIGH-CARDINALITY keyed state
+    # (per-user sessions): its per-group python state work scales with
+    # keys, not bytes, and wants the session's full width.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (adaptive_state and _LAST_STREAM_SRC_BYTES is not None
+            and str(prev_parts).isdigit()):
+        adaptive = max(1, min(int(prev_parts),
+                              -(-_LAST_STREAM_SRC_BYTES // (8 << 20))))
+        spark.conf.set("spark.sql.shuffle.partitions", str(adaptive))
+    try:
+        q = (
+            df_stream.writeStream.format("memory").queryName(qn)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {qn} did not drain in 300s — the memory "
+                f"sink would be partial (silent undercounts)")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return qn
 
 
@@ -1560,7 +1593,9 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("timestamp").alias("ts"), "user_id")
         out = streaming_sessionize(stream, "user_id", "ts", 86400.0,
                                    watermark="1 hour")
-        qn = _run_stream(out, "sessfin", "update")
+        # per-USER state: ~one python state group per user — keep the
+        # session width (narrowing serializes every group into one task)
+        qn = _run_stream(out, "sessfin", "update", adaptive_state=False)
         return spark.table(qn).orderBy("user_id", "session_start_us")
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)

@@ -158,6 +158,73 @@ def probe():
     spark.stop()
 
 
+def probe2():
+    from pyspark.sql import functions as F
+
+    spark = make_spark()
+    warm(spark)
+    import __spark_entry__ as em
+
+    def t(label, fn):
+        t0 = time.perf_counter()
+        fn()
+        print(f"  {label}: {time.perf_counter() - t0:.3f}s", flush=True)
+
+    print("hll_rollup pieces:")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = em._t(spark, SF_DIR, "events").select(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        "user_id")
+    from cuckoo_filter_spark.sketches.rollup import hll_rollup
+    t("est side (3 levels + ckpts)", lambda: _noop(
+        hll_rollup(ev, ["event_type", "day"], "user_id", p=14)))
+    t("exact rollup side", lambda: _noop(
+        ev.rollup("event_type", "day").agg(
+            F.countDistinct("user_id").alias("n_exact"))))
+    t("full query", lambda: em.q_hll_rollup(spark, SF_DIR).collect())
+    spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    print("near_dup_pairs pieces:")
+    batch = em._planted_batch(spark, SF_DIR, materialize=True)
+    from cuckoo_filter_spark.operators.dedup import (
+        minhash_near_dup_pairs, simhash_near_dup_pairs)
+    t("minhash pairs", lambda: _noop(
+        minhash_near_dup_pairs(batch, "text", "doc_id", threshold=0.95)))
+    t("simhash pairs", lambda: _noop(
+        simhash_near_dup_pairs(batch, "text", "doc_id", max_hamming=3)))
+    t("full query", lambda: em.q_near_dup_pairs(spark, SF_DIR).collect())
+
+    print("blocklist pieces:")
+    o = em._t(spark, SF_DIR, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    url = F.concat(F.lit("https://shop"), (k % 10).cast("string"),
+                   F.lit(".example.com/item/"), k.cast("string"))
+    urls = o.select((k % 6).cast("int").alias("branch"), url.alias("url"))
+    from cuckoo_filter_spark.operators.policy import blocklist_filter
+    t("urls total agg", lambda: _noop(
+        urls.groupBy("branch").agg(F.count(F.lit(1)).alias("n"))))
+    t("blocklist filter+agg", lambda: _noop(
+        blocklist_filter(urls, "url", ["shop7.example.com", "tracker.net"])
+        .groupBy("branch").agg(F.count(F.lit(1)).alias("n"))))
+    t("full query", lambda: em.q_blocklist_filter(spark, SF_DIR).collect())
+
+    print("cuckoo_semi_join pieces:")
+    from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+    from cuckoo_filter_spark.params import TABLE_VACUUM
+    hi1 = em._t(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 300000)
+    hi2 = em._t(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 200000)
+    t("build single (deferred)", lambda: build_cuckoo_filter(hi1, "o_orderkey"))
+    t("build vacuum", lambda: build_cuckoo_filter(
+        hi2, "o_orderkey", table_type=TABLE_VACUUM))
+    t("full query", lambda: em.q_cuckoo_semi_join(spark, SF_DIR).collect())
+
+    print("streaming_window_counts (stateful-agg floor):")
+    t("full query", lambda: em.q_streaming_window_counts(spark, SF_DIR).collect())
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
     if mode == "queries":
@@ -166,5 +233,7 @@ if __name__ == "__main__":
         write_plans(sys.argv[2], sys.argv[3:])
     elif mode == "probe":
         probe()
+    elif mode == "probe2":
+        probe2()
     else:
         raise SystemExit(f"unknown mode {mode}")

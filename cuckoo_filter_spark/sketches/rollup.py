@@ -15,9 +15,11 @@ mergeable-sketch formulation needs neither:
 * phase 2 — blobs merge per finest group (register max, associative).
 * phase 3 — level j-1 merges from level j's ALREADY-MERGED blobs:
   each coarser level is a tiny shuffle of G_j blobs, never a rescan.
-  Each level is eagerly localCheckpoint-ed so the union of all levels
-  runs the scan exactly once (same pattern as the CC rounds in
-  operators.dedup).
+  Only the FINEST merged level is localCheckpoint-ed (so the union of
+  all levels runs the scan exactly once); coarser levels chain lazily
+  from that checkpoint — blob frames are bounded by group counts, so
+  re-merging them per level is cheaper than a blocking checkpoint job
+  each (the hll_grouping_sets shape).
 
 At 100 TB this is the whole point of mergeability (north rule): the
 exact plan shuffles ~10^12 raw keys × (k+1) levels; this plan shuffles
@@ -177,14 +179,20 @@ def hll_rollup(
 
     est = _estimate_udf(p)
     levels = []
-    # finest level merges the scan partials; every coarser level merges
-    # the PREVIOUS level's blobs. localCheckpoint per level keeps the
-    # union single-scan (each level's plan would otherwise re-run the
-    # whole chain below it).
-    prev = partials
+    # finest level merges the scan partials and is checkpointed ONCE —
+    # the single input-sized materialization that keeps the union
+    # single-scan. Coarser levels chain LAZILY from it (r7): each
+    # level's plan re-merges the (already tiny, bounded by group count,
+    # never by input partitions) finer blob frames from the checkpoint,
+    # which is cheaper at every scale than a blocking localCheckpoint
+    # job per level — the same shape cube.hll_grouping_sets pins.
+    prev = None
     for j in range(len(group_cols), -1, -1):
         keep = group_cols[:j]
-        prev = _merge_level(prev, keep, ddl_of, p).localCheckpoint()
+        if prev is None:
+            prev = _merge_level(partials, keep, ddl_of, p).localCheckpoint()
+        else:
+            prev = _merge_level(prev, keep, ddl_of, p)
         out = prev.withColumn("lvl", F.lit(j))
         for c in group_cols[j:]:
             out = out.withColumn(c, F.lit(None).cast(
