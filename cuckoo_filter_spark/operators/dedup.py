@@ -210,10 +210,13 @@ def minhash_near_dup_pairs(
     # short docs belong to exact dedup (dedup_by_content_hash).
     df = df.where(F.octet_length(F.col(text_col)) >= k)
     sigs = add_minhash_signatures(df, text_col, id_col, n_perms, k)
-    # eager localCheckpoint: one signature pass feeds every join branch
-    # (no recompute race), one job instead of cache()+count(), and the
-    # blocks are ContextCleaner-managed (cache() leaked across calls)
-    sigs = sigs.localCheckpoint(eager=True)
+    # LAZY localCheckpoint: one signature pass feeds every join branch
+    # (all references share the checkpointed RDD, so the UDF still runs
+    # exactly once) and the blocks are ContextCleaner-managed. Lazy
+    # (r7) so the materialization happens INSIDE the consuming action —
+    # an eager checkpoint here was a blocking extra job serialized
+    # before every candidate stage could start.
+    sigs = sigs.localCheckpoint(eager=False)
     bandsdf = _bands_from_sigs(sigs, id_col, n_perms, bands)
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
@@ -310,9 +313,11 @@ def simhash_near_dup_pairs(
     # pair quadratically via every pigeonhole block
     df = df.where(F.octet_length(F.col(text_col)) >= k)
     sh = add_simhash(df.select(id_col, text_col), text_col, "simhash", k)
-    # eager localCheckpoint (not cache): self-join reads materialized
-    # blocks, no UDF recompute, GC-managed lifetime
-    sh = sh.select(id_col, "simhash").localCheckpoint(eager=True)
+    # lazy localCheckpoint (not cache): self-join reads the blocks of
+    # ONE signature pass, GC-managed lifetime; lazy (r7) so it
+    # materializes inside the consuming action instead of a blocking
+    # up-front job
+    sh = sh.select(id_col, "simhash").localCheckpoint(eager=False)
     blocks = sh.select(
         id_col,
         "simhash",
@@ -499,7 +504,8 @@ def dedup_by_content_hash(df: DataFrame, text_col: str, keep: str = "min",
     fp = doc_fingerprint_udf()
     agg = F.min if keep == "min" else F.max
     slim = df.select(id_col, fp(F.col(text_col)).alias("__fp"))
-    slim = slim.localCheckpoint(eager=True)
+    slim = slim.localCheckpoint(eager=False)  # lazy (r7): materializes
+    # once inside the first consuming action, not as a blocking pre-job
     reps = slim.groupBy("__fp").agg(agg(F.col(id_col)).alias(id_col))
     winner_ids = reps.select(id_col)
     kept = df.join(winner_ids, id_col, "left_semi")
@@ -677,8 +683,9 @@ def embedding_near_dup_pairs(
         return pd.Series(list(vals))
 
     slim = df.select(id_col, all_buckets(F.col(vec_col)).alias("__bks"))
-    slim = slim.localCheckpoint(eager=True)  # one projection pass; both
-    # self-join branches read the checkpoint (GC-managed, unlike persist)
+    slim = slim.localCheckpoint(eager=False)  # one projection pass; both
+    # self-join branches read the checkpoint (GC-managed, unlike
+    # persist); lazy (r7) so it materializes inside the consuming action
     bucketed = slim.select(
         id_col, F.posexplode("__bks").alias("__table", "__bucket"))
     if bucket_cap is not None:

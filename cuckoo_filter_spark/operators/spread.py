@@ -79,5 +79,8 @@ def spread_small_input(
         return df
     out = df.repartition(target)
     if materialize:
-        out = out.localCheckpoint(eager=True)
+        # lazy: the checkpoint materializes inside the first consuming
+        # action (all consumers share the checkpointed RDD — the input
+        # is still computed exactly once) instead of a blocking pre-job
+        out = out.localCheckpoint(eager=False)
     return out

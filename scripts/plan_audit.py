@@ -478,6 +478,44 @@ def main() -> None:
     sections.append(("token chunking: map-side Generate, zero Exchange, "
                      "zero Python, pruned scan", ok, p))
 
+    # 23. sketch tree merge (r7, VERDICT r6 #1): above TREE_MERGE_AT
+    # source partitions the partial blobs go through ONE executor-side
+    # applyInPandas merge level — blob rows only through a single
+    # Exchange, no broadcast, scan stays pruned; the driver then
+    # collects O(sqrt(P)) group rows
+    from cuckoo_filter_spark.sketches import HLLSketch
+    from cuckoo_filter_spark.sketches.base import tree_merge_level
+
+    def _hll_partial(batches):
+        import pandas as pd
+        sk = HLLSketch(p=12)
+        n = 0
+        for pdf in batches:
+            v = pdf["o_custkey"].dropna()
+            n += len(v)
+            if len(v):
+                sk.update(v.astype("int64"))
+        yield pd.DataFrame({"partition_id": [0], "sketch_id": [0],
+                            "rows": [n], "wall_ms": [0.0],
+                            "blob": [sk.to_bytes()]})
+
+    tm_partials = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey").mapInPandas(
+        _hll_partial,
+        "partition_id int, sketch_id int, rows bigint, wall_ms double, "
+        "blob binary")
+    merged = tree_merge_level(tm_partials, [lambda: HLLSketch(p=12)], 4)
+    p = plan_of(merged)
+    ok = (
+        "FlatMapGroupsInPandas" in p
+        and len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and "BroadcastExchange" not in p
+        and read_schema_cols(p) == ["o_custkey"]
+    )
+    sections.append(("sketch tree merge: ONE blob-only Exchange into "
+                     "applyInPandas merge groups, no broadcast, pruned "
+                     "scan", ok, p))
+
     out = ["# PLANS — physical plan audit (sf0.01, AQE on)\n"]
     for name, ok, p in sections:
         out.append(f"## {'✅' if ok else '❌'} {name}\n\n```\n{p.strip()[:4000]}\n```\n")
