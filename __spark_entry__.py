@@ -1072,7 +1072,7 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is checkpointed once and feeds BOTH the deferred-sized bloom build
     # (which hashes + counts the slim checkpoint, never rescanning
     # orders) and the exact verification join
-    rhs = _spread(hi.select("o_orderkey")).localCheckpoint()
+    rhs = _spread(hi.select("o_orderkey")).localCheckpoint(eager=False)
     bloom, _ = build_bloom_deferred(rhs, "o_orderkey", fpp=0.01)
     mc = bloom_might_contain_udf(spark, bloom)
     pruned = li.where(mc(F.col("l_orderkey")))
@@ -1411,8 +1411,11 @@ def _run_stream(df_stream, query_name: str, output_mode: str,
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if (adaptive_state and _LAST_STREAM_SRC_BYTES is not None
             and str(prev_parts).isdigit()):
-        adaptive = max(1, min(int(prev_parts),
-                              -(-_LAST_STREAM_SRC_BYTES // (8 << 20))))
+        # floor of 4 so per-group python state work never fully
+        # serializes into one task (widths 2-8 measured equivalent on
+        # the bounded drains; 1 risks group-count serialization)
+        adaptive = min(int(prev_parts),
+                       max(4, -(-_LAST_STREAM_SRC_BYTES // (8 << 20))))
         spark.conf.set("spark.sql.shuffle.partitions", str(adaptive))
     try:
         q = (

@@ -87,9 +87,10 @@ def decontaminate(
     spark = train.sparkSession
     bench_col = bench_text_col or text_col
     bgrams = benchmark_ngrams(benchmark, bench_col, n)
-    # only worth materializing when >1 consumer actually reads it
+    # only worth materializing when >1 consumer actually reads it;
+    # lazy: the filter build's first job materializes it in-line
     if materialize_bgrams and exact and build is None:
-        bgrams = bgrams.localCheckpoint(eager=True)
+        bgrams = bgrams.localCheckpoint(eager=False)
     if build is None:
         build = build_cuckoo_filter(bgrams, "gram", **build_kwargs)
     mc = might_contain_udf(spark, build)

@@ -211,8 +211,10 @@ def build_bloom_deferred(df, key_col: str, fpp: float = 0.01,
                 yield pd.DataFrame(
                     {"h": metro64_batch(vals).view(np.int64)})
 
-    hashed = df.select(key_col).mapInPandas(hasher, "h bigint").localCheckpoint()
-    n = hashed.count()  # reads the checkpoint, not the source
+    hashed = df.select(key_col).mapInPandas(hasher, "h bigint").localCheckpoint(
+        eager=False)  # lazy: the count below materializes it (one job,
+    # not checkpoint-job + count-job); the partial pass reads the blocks
+    n = hashed.count()  # materializes + counts the checkpoint, not the source
     _check_bloom_geometry(n, fpp, max_partial_bits)
     schema = ("partition_id int, sketch_id int, rows bigint, "
               "wall_ms double, blob binary")
