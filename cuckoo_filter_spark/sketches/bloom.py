@@ -148,11 +148,18 @@ BLOOM_MAX_PARTIAL_BITS = 1 << 31
 
 def _check_bloom_geometry(capacity: int, fpp: float,
                           max_partial_bits: int) -> None:
-    probe = BloomSketch(capacity=max(capacity, 64), fpp=fpp)
-    if probe.n_bits > max_partial_bits:
+    # arithmetic ONLY (the BloomSketch sizing formula, never an
+    # allocation): instantiating a sketch just to read n_bits would
+    # attempt the full bit-array malloc — for the absurd capacities
+    # this guard exists to reject, that is a MemoryError before the
+    # intended ValueError
+    cap = max(capacity, 64)
+    ideal = max(64, int(-cap * math.log(fpp) / (math.log(2) ** 2)))
+    n_bits = 1 << (ideal - 1).bit_length()
+    if n_bits > max_partial_bits:
         raise ValueError(
             f"build_bloom_deferred: capacity {capacity} at fpp={fpp} needs "
-            f"a {probe.n_bits >> 23} MiB filter, and every per-partition "
+            f"a {n_bits >> 23} MiB filter, and every per-partition "
             f"PARTIAL is that same size (num_partitions x blob through the "
             f"combine) — above max_partial_bits={max_partial_bits} bits "
             f"({max_partial_bits >> 23} MiB). Shard the keyspace (one "
